@@ -1,0 +1,271 @@
+package graft.audio
+
+/** Pure-JVM audio codecs for the clip payload.
+  *
+  * This is the decode front-end of the per-record map stage — the
+  * analogue of the reference's serde layer
+  * (/root/reference/src/main/java/de/unimarburg/diz/labtofhir/serializer/Hl7Deserializer.java:22-34):
+  * opaque bytes in, typed domain value out, malformed input surfaced as
+  * `Left(reason)` (the engine quarantines instead of the reference's
+  * hard client shutdown, KafkaConfiguration.java:34-41).
+  *
+  * Codecs (all public-spec, self-contained implementations):
+  *  - `pcm16le` — 16-bit little-endian linear PCM (identity container)
+  *  - `ulaw`    — ITU-T G.711 μ-law, 8 bits/sample
+  *  - `alaw`    — ITU-T G.711 A-law, 8 bits/sample
+  *  - `adpcm`   — IMA/DVI ADPCM, 4 bits/sample with a 4-byte state header
+  *
+  * All decoders return normalized Float samples in [-1, 1).
+  */
+object Codecs {
+
+  val Supported: Set[String] = Set("pcm16le", "ulaw", "alaw", "adpcm")
+
+  // ---------------------------------------------------------------- pcm16le
+
+  def pcm16leEncode(pcm: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](pcm.length * 2)
+    var i = 0
+    while (i < pcm.length) {
+      out(2 * i) = (pcm(i) & 0xff).toByte
+      out(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  def pcm16leDecode(bytes: Array[Byte]): Array[Short] = {
+    val n = bytes.length / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+      i += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------ G.711 μ-law
+
+  private final val UlawBias = 0x84
+  private final val UlawClip = 32635
+
+  def ulawEncodeSample(pcm: Short): Byte = {
+    var s = pcm.toInt
+    val sign = if (s < 0) 0x80 else 0
+    if (s < 0) s = -s
+    if (s > UlawClip) s = UlawClip
+    s += UlawBias
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val man = (s >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | man)).toByte
+  }
+
+  def ulawDecodeSample(b: Byte): Short = {
+    val u = (~b) & 0xff
+    val sign = u & 0x80
+    val exp = (u >> 4) & 0x07
+    val man = u & 0x0f
+    var s = (((man << 3) + UlawBias) << exp) - UlawBias
+    if (sign != 0) s = -s
+    s.toShort
+  }
+
+  def ulawEncode(pcm: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](pcm.length)
+    var i = 0
+    while (i < pcm.length) { out(i) = ulawEncodeSample(pcm(i)); i += 1 }
+    out
+  }
+
+  def ulawDecode(bytes: Array[Byte]): Array[Short] = {
+    val out = new Array[Short](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = ulawDecodeSample(bytes(i)); i += 1 }
+    out
+  }
+
+  // ------------------------------------------------------------ G.711 A-law
+
+  def alawEncodeSample(pcm: Short): Byte = {
+    var s = pcm.toInt
+    val sign = if (s >= 0) 0x80 else 0
+    if (s < 0) s = -s - 1
+    if (s > UlawClip) s = UlawClip
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val man =
+      if (exp == 0) (s >> 4) & 0x0f // exp 0 also covers s < 256 after loop ends at exp 0
+      else (s >> (exp + 3)) & 0x0f
+    ((sign | (exp << 4) | man) ^ 0x55).toByte
+  }
+
+  def alawDecodeSample(b: Byte): Short = {
+    val a = (b ^ 0x55) & 0xff
+    val sign = a & 0x80
+    val exp = (a >> 4) & 0x07
+    val man = a & 0x0f
+    var s =
+      if (exp == 0) (man << 4) + 8
+      else ((man << 4) + 0x108) << (exp - 1)
+    if (sign == 0) s = -s
+    s.toShort
+  }
+
+  def alawEncode(pcm: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](pcm.length)
+    var i = 0
+    while (i < pcm.length) { out(i) = alawEncodeSample(pcm(i)); i += 1 }
+    out
+  }
+
+  def alawDecode(bytes: Array[Byte]): Array[Short] = {
+    val out = new Array[Short](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = alawDecodeSample(bytes(i)); i += 1 }
+    out
+  }
+
+  // ------------------------------------------------------------- IMA ADPCM
+
+  private final val StepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499,
+    2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845,
+    8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385,
+    24623, 27086, 29794, 32767)
+
+  private final val IndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  private def clampIndex(i: Int): Int = if (i < 0) 0 else if (i > 88) 88 else i
+  private def clampPcm(s: Int): Int =
+    if (s > 32767) 32767 else if (s < -32768) -32768 else s
+
+  /** Layout: [predictor lo][predictor hi][index][nSamples parity pad],
+    * then ceil(n/2) bytes of packed 4-bit codes (low nibble first).
+    */
+  def adpcmEncode(pcm: Array[Short]): Array[Byte] = {
+    val n = pcm.length
+    val out = new Array[Byte](4 + (n + 1) / 2)
+    var predictor: Int = if (n > 0) pcm(0).toInt else 0
+    var index = 0
+    out(0) = (predictor & 0xff).toByte
+    out(1) = ((predictor >> 8) & 0xff).toByte
+    out(2) = index.toByte
+    out(3) = (n & 1).toByte
+    var i = 0
+    while (i < n) {
+      val step = StepTable(index)
+      var diff = pcm(i) - predictor
+      var code = 0
+      if (diff < 0) { code = 8; diff = -diff }
+      var tmp = diff
+      var vpdiff = step >> 3
+      if (tmp >= step) { code |= 4; tmp -= step; vpdiff += step }
+      if (tmp >= (step >> 1)) { code |= 2; tmp -= step >> 1; vpdiff += step >> 1 }
+      if (tmp >= (step >> 2)) { code |= 1; vpdiff += step >> 2 }
+      predictor = clampPcm(if ((code & 8) != 0) predictor - vpdiff else predictor + vpdiff)
+      index = clampIndex(index + IndexTable(code))
+      val pos = 4 + (i >> 1)
+      if ((i & 1) == 0) out(pos) = (code & 0x0f).toByte
+      else out(pos) = (out(pos) | ((code & 0x0f) << 4)).toByte
+      i += 1
+    }
+    out
+  }
+
+  def adpcmDecode(bytes: Array[Byte]): Array[Short] = {
+    require(bytes.length >= 4, s"adpcm payload too short: ${bytes.length}")
+    var predictor = ((bytes(1) & 0xff) << 8) | (bytes(0) & 0xff)
+    if ((predictor & 0x8000) != 0) predictor -= 0x10000
+    var index = clampIndex(bytes(2) & 0xff)
+    val oddTail = (bytes(3) & 0x01) == 1
+    val nPacked = (bytes.length - 4) * 2
+    val n = if (oddTail) nPacked - 1 else nPacked
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val raw = bytes(4 + (i >> 1)) & 0xff
+      val code = if ((i & 1) == 0) raw & 0x0f else (raw >> 4) & 0x0f
+      val step = StepTable(index)
+      var vpdiff = step >> 3
+      if ((code & 4) != 0) vpdiff += step
+      if ((code & 2) != 0) vpdiff += step >> 1
+      if ((code & 1) != 0) vpdiff += step >> 2
+      predictor = clampPcm(if ((code & 8) != 0) predictor - vpdiff else predictor + vpdiff)
+      index = clampIndex(index + IndexTable(code))
+      out(i) = predictor.toShort
+      i += 1
+    }
+    out
+  }
+
+  // --------------------------------------------------------------- dispatch
+
+  /** Encode float samples in [-1,1) with the named codec. */
+  def encode(codec: String, samples: Array[Float]): Array[Byte] = {
+    val pcm = new Array[Short](samples.length)
+    var i = 0
+    while (i < samples.length) {
+      val v = math.round(samples(i) * 32767.0f)
+      pcm(i) = clampPcm(v).toShort
+      i += 1
+    }
+    codec match {
+      case "pcm16le" => pcm16leEncode(pcm)
+      case "ulaw"    => ulawEncode(pcm)
+      case "alaw"    => alawEncode(pcm)
+      case "adpcm"   => adpcmEncode(pcm)
+      case other     => throw new IllegalArgumentException(s"unknown codec: $other")
+    }
+  }
+
+  /** Decode to normalized floats; malformed input → Left(reason). The
+    * Either (instead of an exception that kills the stream) is the
+    * engine's deliberate divergence from the reference's poison-pill
+    * shutdown (README.md:85-89).
+    */
+  def decode(codec: String, bytes: Array[Byte]): Either[String, Array[Float]] = {
+    if (bytes == null) return Left("null payload")
+    try {
+      val pcm: Array[Short] = codec match {
+        case "pcm16le" =>
+          if (bytes.length % 2 != 0) return Left(s"pcm16le odd byte count ${bytes.length}")
+          pcm16leDecode(bytes)
+        case "ulaw"  => ulawDecode(bytes)
+        case "alaw"  => alawDecode(bytes)
+        case "adpcm" => adpcmDecode(bytes)
+        case other   => return Left(s"unknown codec: $other")
+      }
+      val out = new Array[Float](pcm.length)
+      var i = 0
+      while (i < pcm.length) { out(i) = pcm(i) / 32768.0f; i += 1 }
+      Right(out)
+    } catch {
+      case e: Exception => Left(s"decode failure: ${e.getMessage}")
+    }
+  }
+
+  /** Signal-to-noise ratio in dB of `decoded` against `original`. */
+  def snrDb(original: Array[Float], decoded: Array[Float]): Double = {
+    require(original.length == decoded.length, "length mismatch")
+    var sig = 0.0
+    var noise = 0.0
+    var i = 0
+    while (i < original.length) {
+      val o = original(i).toDouble
+      val d = decoded(i).toDouble
+      sig += o * o
+      noise += (o - d) * (o - d)
+      i += 1
+    }
+    if (noise == 0.0) Double.PositiveInfinity
+    else 10.0 * math.log10(sig / noise)
+  }
+}

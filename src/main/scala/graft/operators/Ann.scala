@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale shape: the query set is small relative to the corpus, so the
+  * baseline is a **broadcast** of queries against a single scan of the
+  * corpus (no shuffle of the 100 TB side at all; one narrow top-k
+  * aggregation per query). The IVF variant prunes the scanned fraction
+  * by routing each query to its nearest coarse centroid — at cluster
+  * scale the corpus is pre-partitioned by `cluster_id`, so a probe
+  * touches only matching partitions (partition pruning on the storage
+  * layout), which is the standard IVF trade of recall for scan volume.
+  */
+object Ann {
+
+  /** Dot product of two float-array columns, computed in double with a
+    * deterministic left-to-right sum (bit-reproducible across engines).
+    */
+  private def dotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def normD(a: org.apache.spark.sql.Column) =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** L2 norm + normalization check per vector. */
+  def norms(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), round(normD(col(vecCol)), 6).as("l2_norm"))
+
+  /** Brute-force cosine top-k: every (query, corpus) pair scored, then
+    * `row_number` per query. Queries are broadcast; ranking tiebreak on
+    * corpus id keeps the result deterministic.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotD(col("q_vec"), col("c_vec")) / (normD(col("q_vec")) * normD(col("c_vec"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF-style ANN: coarse centroids = per-`clusterCol` mean vectors
+    * (computed by posexplode → per-dimension avg — a single shuffled
+    * aggregation); each query routes to its `nProbe` nearest centroids
+    * and scores only members of those clusters.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, k: Int, nProbe: Int = 1): DataFrame = {
+    val dims = corpus
+      .select(col(clusterCol).as("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("cluster", "dim")
+      .agg(avg(col("v").cast("double")).as("m"))
+    val centroids = dims
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+      .select(col("cluster"), transform(col("pairs"), p => p.getField("m")).as("centroid"))
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val routed = q
+      .join(broadcast(centroids))
+      .withColumn("dist2",
+        aggregate(zip_with(col("q_vec"), col("centroid"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist2").asc, col("cluster").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("cluster"))
+
+    val members = corpus.select(
+      col(clusterCol).as("cluster"), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = members
+      .join(broadcast(routed), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotD(col("q_vec"), col("c_vec")) / (normD(col("q_vec")) * normD(col("c_vec"))))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("cluster"))
+  }
+
+  /** Random-hyperplane LSH bucketing: `nBits` signed projections onto
+    * deterministic pseudo-random hyperplanes (md5-seeded, so the
+    * "random" planes are reproducible without any RNG state). Vectors
+    * sharing a bucket are candidate neighbors.
+    */
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String, nBits: Int): DataFrame = {
+    // plane(b)[d] = (md5(b:d) first 4 hex as int) / 2^16 - 0.5  — deterministic
+    val planes: Seq[org.apache.spark.sql.Column] = (0 until nBits).map { b =>
+      dotD(col(vecCol),
+        transform(sequence(lit(0), size(col(vecCol)) - 1),
+          d => conv(substring(md5(concat(lit(s"$b:"), d)), 1, 4), 16, 10)
+            .cast("double") / 65536.0 - 0.5))
+    }
+    val sig = (0 until nBits)
+      .map(b => when(planes(b) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    emb.select(col(idCol), sig.as("bucket"))
+  }
+}

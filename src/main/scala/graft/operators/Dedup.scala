@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Large-scale document deduplication operators.
+  *
+  * Design notes for 100 TB scale (the small-SF correctness is checked
+  * by the DuckDB oracle; the shapes below are what survive 1000
+  * executors):
+  *  - Exact dedup is a single hash-partitioned aggregation on a 32-byte
+  *    digest — map-side partial agg keeps the shuffle at one digest +
+  *    keeper id per distinct document.
+  *  - MinHash-LSH and SimHash banding turn the O(n²) pair search into
+  *    an equi-join on band keys, which Catalyst executes as a shuffled
+  *    hash join keyed by band — no cross product ever materializes.
+  *  - Candidate buckets are capped (`maxBucketSize`): a degenerate
+  *    shingle (e.g. boilerplate) would otherwise create a quadratic hot
+  *    bucket; dropping oversized buckets is the standard LSH skew
+  *    guard and is applied identically in the oracle SQL.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one surviving (minimum) id per
+    * distinct normalized text, with the duplicate count.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(normalizeTranscript(col(textCol))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures (k hashes over word-`n`-gram shingles). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int): DataFrame =
+    docs.select(
+      col(idCol),
+      minhashSignature(wordShingles(col(textCol), shingleN), k).as("sig"))
+
+  /** MinHash + LSH candidate pairs with estimated Jaccard ≥ threshold.
+    *
+    * shingle → minhash → band → bucket-join: pairs sharing ≥1 of
+    * `bands` band keys are candidates; the estimate is the fraction of
+    * equal signature positions. Self-join is keyed on the band hash
+    * (equi-join → shuffled hash join; no broadcast needed, scales with
+    * data). `maxBucketSize` drops degenerate buckets (skew guard).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 64): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
+      .withColumn("band_keys", lshBandKeys(col("sig"), bands, k / bands))
+    val exploded = sigs
+      .select(col(idCol), col("sig"), explode(col("band_keys")).as("band_key"))
+    val bounded = exploded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val a = bounded.select(
+      col(idCol).as("id_a"), col("sig").as("sig_a"), col("band_key"))
+    val b = bounded.select(
+      col(idCol).as("id_b"), col("sig").as("sig_b"), col("band_key"))
+    val k_ = k
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          bool => bool)).cast("double") / k_).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard similarity pairs within a blocking column
+    * (e.g. language): explode shingles, equi-join on (block, shingle),
+    * count common shingles, Jaccard = |∩| / (|A|+|B|−|∩|).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(
+      col(idCol), col(blockCol).as("block"),
+      wordShingles(col(textCol), shingleN).as("shingles"))
+    val ex = sh.select(
+      col(idCol), col("block"), size(col("shingles")).as("n_sh"),
+      explode(col("shingles")).as("shingle"))
+    val a = ex.select(col("block"), col("shingle"),
+      col(idCol).as("id_a"), col("n_sh").as("n_a"))
+    val b = ex.select(col("block"), col("shingle"),
+      col(idCol).as("id_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("block", "shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash per document (32-bit, md5-derived — see
+    * [[graft.functions.SimHash32]] for the native fast path; this
+    * columnar formula is its oracle-matchable twin).
+    */
+  def simhashDocs(docs: DataFrame, idCol: String, textCol: String,
+      useNative: Boolean = false): DataFrame = {
+    val toks = tokens(col(textCol))
+    val sh =
+      if (useNative) graft.functions.SimHash32.simhash32(toks)
+      else simhash32Col(toks)
+    docs.select(col(idCol), sh.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: band the 32-bit hash into 4 bytes;
+    * pairs equal on ≥1 byte-band are candidates (guarantees recall for
+    * Hamming distance ≤ 3); verify with exact popcount distance.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, useNative: Boolean = false): DataFrame = {
+    val hashed = simhashDocs(docs, idCol, textCol, useNative)
+    val banded = hashed.select(
+      col(idCol), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xffL)).as("band_val"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("simhash"),
+        col("bk.band").as("band"), col("bk.band_val").as("band_val"))
+    val a = banded.select(col("band"), col("band_val"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

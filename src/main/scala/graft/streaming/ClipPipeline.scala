@@ -1,0 +1,217 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.audio.Codecs
+import graft.model._
+
+/** Metadata row of a clip as it enters the keyed stateful stage
+  * (`event_id` carried through for deterministic ordering).
+  */
+final case class ClipMeta(
+    clip_id: String,
+    sr_hz: Int,
+    dur_ms: Int,
+    codec: String,
+    transcript: String,
+    event_time: Timestamp,
+    event_id: Long)
+
+/** Dedup state per clip_id: occurrences seen so far. */
+final case class DedupState(seen: Int)
+
+/** The engine's core pipeline stages — each the Spark-native
+  * re-expression of a reference topology node (SURVEY.md §3.2):
+  * decode map (M4), keyed stateful dedup (D1), window rollups (A3/D4),
+  * stream-stream join (J3). All stages work identically on batch and
+  * streaming Datasets (incremental Catalyst plans).
+  */
+object ClipPipeline {
+
+  // ------------------------------------------------------------ decode map
+
+  /** Per-record map: decode audio, summarize PCM, normalize transcript.
+    * 1:0..1 — failures (unknown codec, malformed payload) yield None
+    * and are dropped by the caller, the analogue of
+    * `mapValues(mapper).filter(v != null)`
+    * (/root/reference/src/main/java/de/unimarburg/diz/labtofhir/processor/LabToFhirProcessor.java:39-40).
+    */
+  def mapClip(c: Clip): Option[MappedClip] =
+    Codecs.decode(c.codec, c.bytes) match {
+      case Left(_) => None
+      case Right(samples) =>
+        if (samples.isEmpty) None // empty-result guard (F3)
+        else {
+          var sumSq = 0.0
+          var peak = 0.0
+          var zc = 0
+          var clipped = 0
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toDouble
+            sumSq += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            if (a >= 0.999) clipped += 1
+            if (i > 0 && ((samples(i - 1) >= 0) != (samples(i) >= 0))) zc += 1
+            i += 1
+          }
+          val rms = math.sqrt(sumSq / samples.length)
+          val norm = normalizeTranscriptJvm(c.transcript)
+          val nTok = if (norm.isEmpty) 0 else norm.count(_ == ' ') + 1
+          Some(MappedClip(
+            clip_id = c.clip_id,
+            out_id = outId(c),
+            sr_hz = c.sr_hz,
+            dur_ms = c.dur_ms,
+            codec = c.codec,
+            pcm = PcmSummary(samples.length, rms, peak, zc, clipped),
+            transcript_norm = norm,
+            n_tokens = nTok,
+            event_time = c.event_time))
+        }
+    }
+
+  /** JVM twin of [[graft.functions.TextFunctions.normalizeTranscript]]
+    * (same regex semantics, asserted equal in tests).
+    */
+  def normalizeTranscriptJvm(s: String): String =
+    if (s == null) ""
+    else s.trim.replaceAll("\\s+", " ").toLowerCase.replaceAll("\\.$", "")
+
+  /** Deterministic timestamp-prefixed surrogate id (C3 analogue,
+    * /root/reference/src/main/java/de/unimarburg/diz/labtofhir/util/TimestampPrefixedId.java:23-59).
+    */
+  def outId(c: Clip): String = {
+    val millis = c.event_time.getTime
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val sha = md.digest(s"${c.clip_id}|${c.codec}".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    s"${java.lang.Long.toHexString(millis)}-$sha".take(64)
+  }
+
+  /** Typed decode stage over a (batch or streaming) Dataset[Clip]. */
+  def decodeStage(clips: Dataset[Clip]): Dataset[MappedClip] = {
+    import clips.sparkSession.implicits._
+    clips.flatMap(mapClip _)
+  }
+
+  // -------------------------------------------------------- stateful dedup
+
+  /** Per-key dedup/suffix function: occurrence `i` (event-time order)
+    * of a clip_id gets out_id `clip_id` (first) or `clip_id_i-1`
+    * (duplicates) — generalizing the reference's within-message
+    * suffixing (`code_i`,
+    * /root/reference/src/main/java/de/unimarburg/diz/labtofhir/mapper/Hl7LabMapper.java:160-179)
+    * to per-key state across the whole stream. State is a single int
+    * per key (RocksDB-backed when the provider is configured, D5) and
+    * is dropped after `stateTtl` past the watermark.
+    */
+  def dedupFn(stateTtlMs: Long)(
+      key: String,
+      rows: Iterator[ClipMeta],
+      state: GroupState[DedupState]): Iterator[DedupDecision] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val sorted = rows.toIndexedSeq.sortBy(r => (r.event_time.getTime, r.event_id))
+      val base = state.getOption.map(_.seen).getOrElse(0)
+      state.update(DedupState(base + sorted.size))
+      if (state.getOption.isDefined && stateTtlMs > 0) {
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(wm + stateTtlMs,
+          sorted.lastOption.map(_.event_time.getTime + stateTtlMs).getOrElse(wm + stateTtlMs)))
+      }
+      sorted.iterator.zipWithIndex.map { case (r, i) =>
+        val occ = base + i + 1
+        DedupDecision(
+          clip_id = r.clip_id,
+          occurrence = occ,
+          out_id = if (occ == 1) r.clip_id else s"${r.clip_id}_${occ - 1}",
+          is_dup = occ > 1,
+          event_time = r.event_time,
+          transcript = r.transcript)
+      }
+    }
+  }
+
+  /** Streaming keyed dedup stage. Input must carry an event-time
+    * watermark when used with a real stream.
+    */
+  def dedupStage(clips: Dataset[ClipMeta],
+      stateTtlMs: Long = 30L * 60 * 1000): Dataset[DedupDecision] = {
+    import clips.sparkSession.implicits._
+    clips
+      .groupByKey(_.clip_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        dedupFn(stateTtlMs))
+  }
+
+  // ------------------------------------------------------- window rollups
+
+  /** Tumbling-window rollup per codec (A3/D4): clips, total duration.
+    * Partial (map-side) aggregation + one hash exchange on
+    * (window, codec) — Catalyst's standard two-phase agg.
+    */
+  def tumblingRollup(clips: DataFrame, windowDur: String): DataFrame =
+    clips
+      .groupBy(window(col("event_time"), windowDur), col("codec"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum(col("dur_ms")).cast("long").as("total_dur_ms"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("codec"), col("n_clips"), col("total_dur_ms"))
+
+  /** Sliding-window rollup (windowDur every slide). */
+  def slidingRollup(clips: DataFrame, windowDur: String, slide: String): DataFrame =
+    clips
+      .groupBy(window(col("event_time"), windowDur, slide), col("codec"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum(col("dur_ms")).cast("long").as("total_dur_ms"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("codec"), col("n_clips"), col("total_dur_ms"))
+
+  /** Session-window rollup: sessions close after `gap` of inactivity
+    * per key (D4; the streaming generalization of the reference's
+    * per-message grouping).
+    */
+  def sessionRollup(df: DataFrame, timeCol: String, keyCol: String,
+      gap: String): DataFrame =
+    df.groupBy(session_window(col(timeCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"))
+
+  // ---------------------------------------------------- stream-stream join
+
+  /** Watermarked stream-stream inner join pairing clips with
+    * late-arriving transcript updates inside a bounded interval (J3).
+    * State on both sides is bounded by the watermark + interval, so
+    * executor state stays O(updates within the window) regardless of
+    * total stream length.
+    */
+  def transcriptUpdateJoin(clips: DataFrame, updates: DataFrame,
+      watermark: String, joinWindow: String): DataFrame = {
+    val c = clips.withWatermark("event_time", watermark)
+    val u = updates
+      .withColumnRenamed("clip_id", "u_clip_id")
+      .withWatermark("u_event_time", watermark)
+    c.join(
+      u,
+      expr(s"""clip_id = u_clip_id AND
+               u_event_time >= event_time AND
+               u_event_time <= event_time + INTERVAL $joinWindow"""))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Helpers for driving streaming plans to a deterministic batch result
+  * (the engine's TopologyTestDriver analogue, SURVEY.md §5) and for
+  * reading the file-backed input streams.
+  */
+object StreamRunner {
+
+  private val counter = new AtomicInteger(0)
+
+  /** Parquet file stream over a driver-generated table. The file
+    * source is the sandbox stand-in for the reference's Kafka source
+    * (S1/S2; no Kafka connector jar ships here) — rate limiting via
+    * `maxFilesPerTrigger` mirrors consumer fetch sizing (D9).
+    */
+  def parquetStream(spark: SparkSession, path: String, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(path)
+  }
+
+  /** Run a streaming DataFrame to completion over all currently
+    * available input (Trigger.AvailableNow) into an in-memory table and
+    * return it as a batch DataFrame. Used by Verify so streaming
+    * operators go through the same DuckDB oracle gate as batch ones.
+    */
+  def runToMemory(stream: DataFrame, mode: String): DataFrame = {
+    val spark = stream.sparkSession
+    val name = s"graft_mem_${counter.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,173 @@
+package graft.synth
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.audio.Codecs
+import graft.model.{Clip, TranscriptUpdate}
+
+/** Deterministic synthetic clip tables (seed-free pure arithmetic so the
+  * same rows appear on every machine / JVM / partition layout).
+  *
+  * The metadata derivation is intentionally **SQL-expressible** (pure
+  * modular arithmetic over `events.event_id`) so that every downstream
+  * operator that touches only metadata (dedup, rollups, joins) can be
+  * verified against an independent DuckDB oracle. The audio `bytes`
+  * payload is pure-JVM synthesis (sine mixture → codec encode) and is
+  * verified by SNR round-trip in ScalaTest instead.
+  *
+  * Analogue of the reference's test fixture corpus
+  * (/root/reference/src/test/resources/reports/, FIXTURES.md §2).
+  */
+object ClipGen {
+
+  val Words: Seq[String] = Seq(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliett", "kilo", "lima", "mike", "november",
+    "oscar", "papa")
+
+  /** Metadata-only clip table derived 1:1 from `events` by pure modular
+    * arithmetic. ~20% of rows collapse onto 5 hot `clip_id`s (skew +
+    * dedup exercise, FIXTURES.md §2.1); 1-in-20 rows get codec
+    * `unknown` (the mapping-failure path).
+    *
+    * Keep in sync with [[metaSql]] — the DuckDB oracle re-derivation.
+    */
+  def clipsMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val wordArr = array(Words.map(lit): _*)
+    ev.select(
+      when(col("event_id") % 10 < 2, concat(lit("hot-"), col("event_id") % 5))
+        .otherwise(concat(lit("c-"), col("event_id")))
+        .as("clip_id"),
+      when(col("event_id") % 3 === 0, 8000)
+        .when(col("event_id") % 3 === 1, 16000)
+        .otherwise(44100)
+        .cast("int")
+        .as("sr_hz"),
+      (lit(50) + (col("event_id") * 7) % 1951).cast("int").as("dur_ms"),
+      when(col("event_id") % 20 === 19, "unknown")
+        .when(col("event_id") % 4 === 0, "pcm16le")
+        .when(col("event_id") % 4 === 1, "ulaw")
+        .when(col("event_id") % 4 === 2, "alaw")
+        .otherwise("adpcm")
+        .as("codec"),
+      concat(
+        when(col("event_id") % 7 === 0, lit("  ")).otherwise(lit("")),
+        when(
+          col("event_id") % 2 === 0,
+          upper(element_at(wordArr, (col("event_id") % 16 + 1).cast("int"))))
+          .otherwise(element_at(wordArr, (col("event_id") % 16 + 1).cast("int"))),
+        lit(" "),
+        element_at(wordArr, ((col("event_id") * 5) % 16 + 1).cast("int")),
+        when(col("event_id") % 5 === 0, lit("   ")).otherwise(lit(" ")),
+        element_at(wordArr, ((col("event_id") * 11) % 16 + 1).cast("int")),
+        when(col("event_id") % 3 === 0, lit(".")).otherwise(lit(""))
+      ).as("transcript"),
+      col("ts").as("event_time"),
+      col("event_id"))
+  }
+
+  /** DuckDB SQL fragment producing exactly [[clipsMeta]] (minus bytes)
+    * from `events`, for oracle queries. Column names match.
+    */
+  val metaSql: String =
+    """SELECT
+      |  CASE WHEN event_id % 10 < 2 THEN 'hot-' || (event_id % 5) ELSE 'c-' || event_id END AS clip_id,
+      |  CASE event_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr_hz,
+      |  CAST(50 + (event_id * 7) % 1951 AS INT) AS dur_ms,
+      |  CASE WHEN event_id % 20 = 19 THEN 'unknown'
+      |       WHEN event_id % 4 = 0 THEN 'pcm16le'
+      |       WHEN event_id % 4 = 1 THEN 'ulaw'
+      |       WHEN event_id % 4 = 2 THEN 'alaw'
+      |       ELSE 'adpcm' END AS codec,
+      |  (CASE WHEN event_id % 7 = 0 THEN '  ' ELSE '' END)
+      |    || (CASE WHEN event_id % 2 = 0
+      |             THEN upper(['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliett','kilo','lima','mike','november','oscar','papa'][CAST(event_id % 16 + 1 AS INT)])
+      |             ELSE ['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliett','kilo','lima','mike','november','oscar','papa'][CAST(event_id % 16 + 1 AS INT)] END)
+      |    || ' '
+      |    || ['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliett','kilo','lima','mike','november','oscar','papa'][CAST((event_id * 5) % 16 + 1 AS INT)]
+      |    || (CASE WHEN event_id % 5 = 0 THEN '   ' ELSE ' ' END)
+      |    || ['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliett','kilo','lima','mike','november','oscar','papa'][CAST((event_id * 11) % 16 + 1 AS INT)]
+      |    || (CASE WHEN event_id % 3 = 0 THEN '.' ELSE '' END) AS transcript,
+      |  ts AS event_time,
+      |  event_id
+      |FROM events""".stripMargin
+
+  /** Deterministic float samples for one clip: two-sine mixture whose
+    * frequencies/phase derive from `seedId` only.
+    */
+  def samplesFor(seedId: Long, srHz: Int, durMs: Int): Array[Float] = {
+    val n = math.max(1, (srHz.toLong * durMs / 1000L).toInt)
+    val f1 = 100.0 + (seedId % 40) * 10.0
+    val f2 = 500.0 + (seedId % 23) * 37.0
+    val phase = (seedId % 17) * (math.Pi / 17.0)
+    val out = new Array[Float](n)
+    val w1 = 2.0 * math.Pi * f1 / srHz
+    val w2 = 2.0 * math.Pi * f2 / srHz
+    var i = 0
+    while (i < n) {
+      out(i) = (0.55 * math.sin(w1 * i + phase) + 0.30 * math.sin(w2 * i)).toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Full typed clip Dataset including encoded audio bytes. `unknown`
+    * codec rows carry deliberately garbage bytes (decode-failure path).
+    */
+  def clips(spark: SparkSession, sfDir: String): Dataset[Clip] = {
+    import spark.implicits._
+    clipsMeta(spark, sfDir)
+      .as[(String, Int, Int, String, String, Timestamp, Long)]
+      .map { case (clipId, srHz, durMs, codec, transcript, eventTime, eventId) =>
+        val bytes =
+          if (codec == "unknown") Array.tabulate[Byte](16)(i => ((eventId + i) % 251).toByte)
+          else Codecs.encode(codec, samplesFor(eventId, srHz, durMs))
+        Clip(clipId, bytes, srHz, durMs, codec, transcript, eventTime)
+      }
+  }
+
+  /** Late transcript updates: one per hot clip occurrence plus a slice
+    * of cold clips, timestamped after the matching clip (FIXTURES.md
+    * §2.2). SQL-expressible; keep in sync with [[updatesSql]].
+    */
+  def transcriptUpdates(spark: SparkSession, sfDir: String): Dataset[TranscriptUpdate] = {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    ev.filter(col("event_id") % 6 === 1)
+      .select(
+        when(col("event_id") % 10 < 2, concat(lit("hot-"), col("event_id") % 5))
+          .otherwise(concat(lit("c-"), col("event_id")))
+          .as("clip_id"),
+        concat(lit("corrected "), col("event_id") % 100).as("u_transcript"),
+        (col("ts") + expr("INTERVAL 3 MINUTES")).as("u_event_time"))
+      .as[TranscriptUpdate]
+  }
+
+  /** DuckDB re-derivation of [[transcriptUpdates]]. */
+  val updatesSql: String =
+    """SELECT
+      |  CASE WHEN event_id % 10 < 2 THEN 'hot-' || (event_id % 5) ELSE 'c-' || event_id END AS clip_id,
+      |  'corrected ' || (event_id % 100) AS u_transcript,
+      |  ts + INTERVAL 3 MINUTE AS u_event_time
+      |FROM events WHERE event_id % 6 = 1""".stripMargin
+
+  /** Codec → category static lookup table, with a deliberate duplicate
+    * key (first wins) and a missing codec ('adpcm' absent → null
+    * category on join) — the Mappingkatalog analogue
+    * (/root/reference/src/main/java/de/unimarburg/diz/labtofhir/configuration/MappingConfiguration.java:23-46).
+    */
+  def codecCategories(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("pcm16le", "uncompressed", 1),
+      ("ulaw", "companded", 2),
+      ("ulaw", "DUPLICATE-IGNORED", 3), // first-wins dedup target
+      ("alaw", "companded", 4),
+      ("unknown", "quarantine", 5)
+    ).toDF("code", "category", "line_no")
+  }
+}
