@@ -82,7 +82,7 @@ object SimHash32 {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash32",
       exprs => SimHash32(exprs.head),
-      "builtin")
+      "built-in")
 
   /** Column wrapper (requires [[register]] on the active session). */
   def simhash32(tokens: Column): Column = call_function("simhash32", tokens)

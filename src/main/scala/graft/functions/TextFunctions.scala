@@ -37,7 +37,7 @@ object TextFunctions {
     */
   def tsPrefixedId(ts: Column, uniquePart: Column): Column =
     substring(
-      concat(lower(hex(unix_millis(ts))), lit("-"), uniquePart), 1, 64)
+      concat(lower(hex(unix_millis(ts.cast("timestamp")))), lit("-"), uniquePart), 1, 64)
 
   /** Transcript normalization: trim, collapse whitespace, lowercase,
     * drop one trailing period. The graft analogue of the reference's

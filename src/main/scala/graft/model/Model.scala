@@ -1,6 +1,6 @@
 package graft.model
 
-import java.sql.Timestamp
+import java.time.LocalDateTime
 
 /** Core data model of the engine.
   *
@@ -17,7 +17,7 @@ final case class Clip(
     dur_ms: Int,
     codec: String,
     transcript: String,
-    event_time: Timestamp)
+    event_time: LocalDateTime)
 
 /** Late-arriving transcript correction — the second stream of the
   * stream-stream join (SURVEY.md §2.4 J3). Analogue of the reference's
@@ -27,7 +27,7 @@ final case class Clip(
 final case class TranscriptUpdate(
     clip_id: String,
     u_transcript: String,
-    u_event_time: Timestamp)
+    u_event_time: LocalDateTime)
 
 /** Summary of the decoded PCM payload — the analogue of the mapped
   * FHIR Observation value set (quantity/interpretation/range family,
@@ -55,7 +55,7 @@ final case class MappedClip(
     pcm: PcmSummary,
     transcript_norm: String,
     n_tokens: Int,
-    event_time: Timestamp)
+    event_time: LocalDateTime)
 
 /** Dedup decision emitted per input record by the keyed stateful
   * operator (SURVEY.md §2.8 D1) — generalizes the reference's
@@ -68,13 +68,13 @@ final case class DedupDecision(
     occurrence: Int, // 1-based occurrence index per key, event-time order
     out_id: String, // clip_id for first occurrence, clip_id + "_" + i after
     is_dup: Boolean,
-    event_time: Timestamp,
+    event_time: java.sql.Timestamp, // LTZ: carried through watermarked streams
     transcript: String)
 
 /** Per-window rollup row (SURVEY.md §2.5 A3 / §2.8 D4). */
 final case class WindowRollup(
-    window_start: Timestamp,
-    window_end: Timestamp,
+    window_start: LocalDateTime,
+    window_end: LocalDateTime,
     codec: String,
     n_clips: Long,
     total_dur_ms: Long,

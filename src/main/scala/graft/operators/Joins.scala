@@ -92,9 +92,9 @@ object Joins {
     * is a map-side interval probe — no shuffle of the fact side.
     */
   def rangeBandJoin(facts: DataFrame, valueCol: String, bands: DataFrame,
-      loCol: String, hiCol: String): DataFrame =
+      loCol: String, hiCol: String, joinType: String = "inner"): DataFrame =
     facts.join(
       broadcast(bands),
       facts(valueCol) >= bands(loCol) && facts(valueCol) < bands(hiCol),
-      "left")
+      joinType)
 }

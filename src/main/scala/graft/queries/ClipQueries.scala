@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+import graft.streaming.ClipPipeline
+import graft.synth.ClipGen
+
+/** Batch queries over the synthesized audio-clip table — the decode
+  * map stage (SURVEY.md §2.2 M4) and the static broadcast lookup (J1).
+  */
+object ClipQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------- p01 full decode pipeline
+    // Audio payload decode is pure-JVM (not SQL-expressible) → rows-only
+    // check here; SNR-based decode correctness is asserted in CodecsSpec
+    // and PipelineSpec.
+    QueryDef(
+      "p01_decode_full",
+      (s, d) => {
+        val mapped = ClipPipeline.decodeStage(ClipGen.clips(s, d))
+        mapped.toDF()
+          .select(col("clip_id"), col("out_id"), col("sr_hz"), col("dur_ms"),
+            col("codec"),
+            col("pcm.n_samples").as("n_samples"),
+            round(col("pcm.rms"), 4).as("rms"),
+            round(col("pcm.peak"), 4).as("peak"),
+            col("pcm.zero_crossings").as("zero_crossings"),
+            col("pcm.clipped").as("clipped"),
+            col("transcript_norm"), col("n_tokens"), col("event_time"))
+          .orderBy(col("out_id"), col("clip_id"))
+      },
+      None),
+
+    // -------------------------- p02 decode metadata (oracle-verified)
+    // The SQL-expressible slice of the decode output: proves the decoder
+    // emitted exactly (sr_hz*dur_ms/1000) samples per clip, dropped
+    // exactly the unknown-codec rows, and normalized transcripts + ids
+    // correctly — an end-to-end oracle over the typed map stage.
+    QueryDef(
+      "p02_decode_meta",
+      (s, d) => {
+        val mapped = ClipPipeline.decodeStage(ClipGen.clips(s, d))
+        mapped.toDF()
+          .select(col("clip_id"), col("out_id"), col("codec"),
+            col("pcm.n_samples").as("n_samples"),
+            col("transcript_norm"), col("n_tokens"))
+          .orderBy(col("out_id"), col("clip_id"))
+      },
+      Some {
+        val norm = TextQueries.normSql("transcript")
+        s"""WITH clips AS (${ClipGen.metaSql})
+           |SELECT clip_id,
+           |  substr(lower(to_hex(epoch_ms(event_time))) || '-' || sha256(clip_id || '|' || codec), 1, 64) AS out_id,
+           |  codec,
+           |  CAST((CAST(sr_hz AS BIGINT) * dur_ms) // 1000 AS INT) AS n_samples,
+           |  $norm AS transcript_norm,
+           |  CASE WHEN length($norm) = 0 THEN 0
+           |       ELSE len(string_split($norm, ' ')) END AS n_tokens
+           |FROM clips WHERE codec <> 'unknown'
+           |ORDER BY out_id, clip_id""".stripMargin
+      }),
+
+    // ----------------------------------- q39 broadcast lookup (first-wins)
+    QueryDef(
+      "q39_broadcast_lookup",
+      (s, d) => {
+        val clips = ClipGen.clipsMeta(s, d)
+        Joins.broadcastLookupJoin(clips, ClipGen.codecCategories(s),
+          "codec", "code", "line_no")
+          .groupBy(col("codec"), col("category"))
+          .agg(count(lit(1)).as("n"), sum(col("dur_ms").cast("long")).as("total_dur_ms"))
+          .orderBy(col("codec"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql}),
+              |cat AS (
+              |  SELECT code, category FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY code ORDER BY line_no) AS rn
+              |    FROM (VALUES ('pcm16le', 'uncompressed', 1), ('ulaw', 'companded', 2),
+              |                 ('ulaw', 'DUPLICATE-IGNORED', 3), ('alaw', 'companded', 4),
+              |                 ('unknown', 'quarantine', 5)) t(code, category, line_no))
+              |  WHERE rn = 1)
+              |SELECT codec, category, COUNT(*) AS n, CAST(SUM(CAST(dur_ms AS BIGINT)) AS BIGINT) AS total_dur_ms
+              |FROM clips LEFT JOIN cat ON codec = code
+              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // --------------------------------------------- q40 date-filter family
+    // The reference's comparator×date filter (F2, BaseMapper.java:131-150)
+    // over event dates — all five comparators in one result.
+    QueryDef(
+      "q40_date_filter",
+      (s, d) => {
+        val clips = ClipGen.clipsMeta(s, d)
+        val cutoff = lit("2024-01-15").cast("date")
+        val dt = to_date(col("event_time"))
+        clips.select(
+          count(when(dt < cutoff, 1)).as("n_lt"),
+          count(when(dt <= cutoff, 1)).as("n_le"),
+          count(when(dt > cutoff, 1)).as("n_gt"),
+          count(when(dt >= cutoff, 1)).as("n_ge"),
+          count(when(dt === cutoff, 1)).as("n_eq"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql})
+              |SELECT
+              |  COUNT(CASE WHEN CAST(event_time AS DATE) < DATE '2024-01-15' THEN 1 END) AS n_lt,
+              |  COUNT(CASE WHEN CAST(event_time AS DATE) <= DATE '2024-01-15' THEN 1 END) AS n_le,
+              |  COUNT(CASE WHEN CAST(event_time AS DATE) > DATE '2024-01-15' THEN 1 END) AS n_gt,
+              |  COUNT(CASE WHEN CAST(event_time AS DATE) >= DATE '2024-01-15' THEN 1 END) AS n_ge,
+              |  COUNT(CASE WHEN CAST(event_time AS DATE) = DATE '2024-01-15' THEN 1 END) AS n_eq
+              |FROM clips""".stripMargin)))
+}

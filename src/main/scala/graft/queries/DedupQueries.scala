@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Deduplication surface: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+  * Oracles re-derive every hash from md5 in DuckDB, so signatures and
+  * candidate pairs are checked value-for-value, not just by count.
+  */
+object DedupQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def normSql(c: String) = TextQueries.normSql(c)
+
+  /** DuckDB: distinct word-3-gram shingles of `norm`/`toks`. */
+  private val shinglesSql =
+    """list_distinct(CASE WHEN len(toks) < 3
+      |  THEN [list_aggregate(toks, 'string_agg', ' ')]
+      |  ELSE list_transform(range(1, len(toks) - 1),
+      |    i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) END)""".stripMargin
+
+  /** DuckDB: minhash k=8 signature of a shingle list `sh`. */
+  private def sigSql(sh: String): String =
+    (0 until 8).map { k =>
+      s"list_aggregate(list_transform($sh, x -> md5('$k:' || x)), 'min')"
+    }.mkString("[", ", ", "]")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------ q29 exact dedup
+    QueryDef(
+      "q29_dedup_exact",
+      (s, d) =>
+        Dedup.exactDedup(docs(s, d), "doc_id", "text")
+          .orderBy(col("content_hash")),
+      Some(s"""SELECT md5(${normSql("text")}) AS content_hash,
+              |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------- q30 minhash signatures
+    QueryDef(
+      "q30_minhash_sig",
+      (s, d) => {
+        val sig = Dedup.minhashSignatures(docs(s, d), "doc_id", "text", 3, 8)
+        sig.select(col("doc_id") +:
+          (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val cols = (0 until 8).map(i => s"sig[${i + 1}] AS m$i").mkString(", ")
+        s"""WITH tk AS (
+           |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, $shinglesSql AS sh FROM tk),
+           |sg AS (SELECT doc_id, ${sigSql("sh")} AS sig FROM sh)
+           |SELECT doc_id, $cols FROM sg ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------- q31 minhash LSH candidate pairs
+    QueryDef(
+      "q31_minhash_pairs",
+      (s, d) =>
+        Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4, threshold = 0.25, maxBucketSize = 64)
+          .orderBy(col("id_a"), col("id_b")),
+      Some {
+        val bandKeys = (0 until 4).map { b =>
+          s"md5('$b' || ',' || sig[${2 * b + 1}] || ',' || sig[${2 * b + 2}])"
+        }.mkString("[", ", ", "]")
+        s"""WITH tk AS (
+           |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+           |sh AS (SELECT doc_id, $shinglesSql AS sh FROM tk),
+           |sg AS (SELECT doc_id, ${sigSql("sh")} AS sig FROM sh),
+           |ex AS (SELECT doc_id, sig, unnest($bandKeys) AS band_key FROM sg),
+           |bd AS (SELECT *, COUNT(*) OVER (PARTITION BY band_key) AS bucket_n FROM ex),
+           |ok AS (SELECT * FROM bd WHERE bucket_n <= 64),
+           |pr AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(len(list_filter(range(1, 9), i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS DOUBLE) / 8 AS est_jaccard
+           |  FROM ok a JOIN ok b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, est_jaccard FROM pr
+           |WHERE est_jaccard >= 0.25 ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // --------------------------------------- q32 exact n-gram Jaccard
+    QueryDef(
+      "q32_ngram_jaccard",
+      (s, d) =>
+        Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", "lang",
+          shingleN = 3, threshold = 0.02)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, lang AS block, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+              |sh AS (SELECT doc_id, block, $shinglesSql AS shingles FROM tk),
+              |ex AS (SELECT doc_id, block, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+              |pairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+              |  FROM ex a JOIN ex b ON a.block = b.block AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2, 3, 4)
+              |SELECT id_a, id_b,
+              |  round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+              |FROM pairs WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.02
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---------------------------------------------------- q33 simhash
+    QueryDef(
+      "q33_simhash",
+      (s, d) =>
+        Dedup.simhashDocs(docs(s, d), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+              |hs AS (
+              |  SELECT doc_id, list_transform(toks, tok ->
+              |    CAST(list_sum(list_transform(range(0, 8),
+              |      c -> (strpos('0123456789abcdef', substr(md5(tok), CAST(c + 1 AS INT), 1)) - 1)
+              |           * CAST(power(16, 7 - c) AS BIGINT))) AS BIGINT)) AS hashes
+              |  FROM tk)
+              |SELECT doc_id,
+              |  CAST(list_sum(list_transform(range(0, 32), j -> CASE WHEN
+              |    list_sum(list_transform(hashes, h ->
+              |      CASE WHEN (h >> CAST(31 - j AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+              |    THEN CAST(power(2, 31 - j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+              |FROM hs ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------- q34 simhash near-dup pairs
+    QueryDef(
+      "q34_simhash_pairs",
+      (s, d) =>
+        Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 10)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+              |hs AS (
+              |  SELECT doc_id, list_transform(toks, tok ->
+              |    CAST(list_sum(list_transform(range(0, 8),
+              |      c -> (strpos('0123456789abcdef', substr(md5(tok), CAST(c + 1 AS INT), 1)) - 1)
+              |           * CAST(power(16, 7 - c) AS BIGINT))) AS BIGINT)) AS hashes
+              |  FROM tk),
+              |sh AS (
+              |  SELECT doc_id,
+              |    CAST(list_sum(list_transform(range(0, 32), j -> CASE WHEN
+              |      list_sum(list_transform(hashes, h ->
+              |        CASE WHEN (h >> CAST(31 - j AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+              |      THEN CAST(power(2, 31 - j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+              |  FROM hs),
+              |bd AS (
+              |  SELECT doc_id, simhash, b.b AS band, (simhash >> CAST(8 * b.b AS INT)) & 255 AS band_val
+              |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS b) b)
+              |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+              |FROM bd a JOIN bd b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+              |ORDER BY id_a, id_b""".stripMargin)))
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sink.ExactlyOnceSink
+import graft.streaming.{ClipMeta, ClipPipeline, StreamRunner}
+import graft.synth.ClipGen
+
+/** Streaming operator surface, driven to deterministic batch results
+  * through `Trigger.AvailableNow` + memory sink so the same DuckDB
+  * oracle gate covers streaming semantics (SURVEY.md §2.8 D1–D8).
+  *
+  * Input streams are parquet file sources over the driver tables
+  * (Kafka stand-in, SURVEY.md §2.1 S1/S2); the clip metadata transform
+  * is applied on the stream, so watermarks, state and joins run on the
+  * true incremental plan.
+  */
+object StreamQueries {
+
+  import org.apache.spark.sql.types._
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def metaProjection(ev: DataFrame): DataFrame =
+    ClipGen.metaProjection(ev)
+
+  val defs: Seq[QueryDef] = Seq(
+    // --------------------------------- s01 streaming tumbling rollup (D4)
+    QueryDef(
+      "s01_stream_tumbling",
+      (s, d) => {
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+        val rolled = ClipPipeline.tumblingRollup(
+          clips.withWatermark("event_time", "1 hour"), "1 day")
+        StreamRunner.runToMemory(rolled, "complete")
+          .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
+          .withColumn("window_end", col("window_end").cast("timestamp_ntz"))
+          .orderBy(col("window_start"), col("codec"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql})
+              |SELECT make_timestamp((epoch_us(event_time) // 86400000000) * 86400000000) AS window_start,
+              |  make_timestamp(((epoch_us(event_time) // 86400000000) + 1) * 86400000000) AS window_end,
+              |  codec, COUNT(*) AS n_clips, CAST(SUM(CAST(dur_ms AS BIGINT)) AS BIGINT) AS total_dur_ms
+              |FROM clips GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin)),
+
+    // ---------------------------------- s02 keyed stateful dedup (D1)
+    QueryDef(
+      "s02_stream_dedup",
+      (s, d) => {
+        import s.implicits._
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .withWatermark("event_time", "10 minutes")
+          .as[ClipMeta]
+        val decided = ClipPipeline.dedupStage(clips)
+        StreamRunner.runToMemory(decided.toDF(), "append")
+          .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
+          .orderBy(col("clip_id"), col("occurrence"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql}),
+              |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY clip_id ORDER BY event_time, event_id) AS INT) AS occ
+              |  FROM clips)
+              |SELECT clip_id, occ AS occurrence,
+              |  CASE WHEN occ = 1 THEN clip_id ELSE clip_id || '_' || (occ - 1) END AS out_id,
+              |  occ > 1 AS is_dup, event_time, transcript
+              |FROM r ORDER BY clip_id, occurrence""".stripMargin)),
+
+    // ----------------------------- s03 stream-stream interval join (J3)
+    QueryDef(
+      "s03_stream_join",
+      (s, d) => {
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .drop("sr_hz", "dur_ms", "codec")
+        val updates = StreamRunner
+          .parquetStream(s, s"$d/events.parquet", eventsSchema)
+          .filter(col("event_id") % 6 === 1)
+          .select(
+            when(col("event_id") % 10 < 2, concat(lit("hot-"), col("event_id") % 5))
+              .otherwise(concat(lit("c-"), col("event_id"))).as("clip_id"),
+            concat(lit("corrected "), col("event_id") % 100).as("u_transcript"),
+            (col("ts").cast("timestamp") + expr("INTERVAL 3 MINUTES")).as("u_event_time"))
+        val joined = ClipPipeline
+          .transcriptUpdateJoin(clips, updates, "30 minutes", "10 MINUTES")
+          .select(col("clip_id"), col("event_id"), col("event_time"),
+            col("u_transcript"), col("u_event_time"))
+        StreamRunner.runToMemory(joined, "append")
+          .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
+          .withColumn("u_event_time", col("u_event_time").cast("timestamp_ntz"))
+          .orderBy(col("clip_id"), col("event_id"), col("u_event_time"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql}),
+              |upd AS (${ClipGen.updatesSql})
+              |SELECT c.clip_id, c.event_id, c.event_time, u.u_transcript, u.u_event_time
+              |FROM clips c JOIN upd u ON c.clip_id = u.clip_id
+              |  AND u.u_event_time >= c.event_time
+              |  AND u.u_event_time <= c.event_time + INTERVAL 10 MINUTE
+              |ORDER BY c.clip_id, c.event_id, u.u_event_time""".stripMargin)),
+
+    // ------------------------------- s04 streaming session windows (D4)
+    QueryDef(
+      "s04_stream_session",
+      (s, d) => {
+        val ev = StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema)
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 hour")
+        val sessions = ClipPipeline.sessionRollup(ev, "ts", "user_id", "30 minutes")
+        StreamRunner.runToMemory(sessions, "complete")
+          .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+          .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_s,
+             |    event_id
+             |  FROM events),
+             |g AS (SELECT user_id, ts,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM f)
+             |SELECT MIN(ts) AS session_start,
+             |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  user_id, COUNT(*) AS n_events
+             |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
+    // --------------------------- s05 exactly-once foreachBatch sink (D2)
+    QueryDef(
+      "s05_exactly_once_sink",
+      (s, d) => {
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft_sink_").toString
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+        val sink = new ExactlyOnceSink(outDir, Seq("event_id"))
+        val q = clips.writeStream
+          .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$outDir/_checkpoint")
+          .start()
+        q.awaitTermination()
+        sink.readCommitted(s)
+          .select(col("clip_id"), col("event_id"), col("codec"),
+            col("dur_ms"), col("event_time"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql})
+              |SELECT clip_id, event_id, codec, dur_ms, event_time
+              |FROM clips ORDER BY event_id""".stripMargin)))
+}

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Scalar-function + text-analysis surface (SURVEY.md §2.7 C1–C15
+  * analogues and the training-pipeline text family: quality scoring,
+  * language id, token counting, fingerprinting).
+  */
+object TextQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** DuckDB expression: normalized text of column `c` (twin of
+    * [[graft.functions.TextFunctions.normalizeTranscript]]).
+    */
+  def normSql(c: String): String =
+    s"regexp_replace(lower(regexp_replace(trim($c), '\\s+', ' ', 'g')), '\\.$$', '')"
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------ q21 explode + word count
+    QueryDef(
+      "q21_wordcount",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(explode(split(normalizeTranscript(col("text")), " ")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word"))
+          .limit(50),
+      Some(s"""SELECT word, COUNT(*) AS n
+              |FROM (SELECT unnest(string_split(${normSql("text")}, ' ')) AS word FROM documents)
+              |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------ q22 id scalar suite
+    QueryDef(
+      "q22_scalar_ids",
+      (s, d) => {
+        val raw = concat(lit("SRC_EV "), col("event_id"), lit("!"), col("event_type"))
+        t(s, d, "events")
+          .select(
+            col("event_id"),
+            sanitizeId(stripPrefix(raw, "SRC_")).as("sanitized_id"),
+            hashId(lit("urn:graft:event"), col("event_id")).as("hashed_id"),
+            tsPrefixedId(col("ts"),
+              sha2(col("event_id").cast("string"), 256)).as("ts_prefixed_id"),
+            conditionalReference(lit("Clip"), lit("urn:graft:event"),
+              col("event_id")).as("conditional_ref"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  substr(regexp_replace('EV ' || event_id || '!' || event_type, '[^A-Za-z0-9\-\.]', '-', 'g'), 1, 64) AS sanitized_id,
+             |  sha256('urn:graft:event' || '|' || event_id) AS hashed_id,
+             |  substr(lower(to_hex(epoch_ms(ts))) || '-' || sha256(CAST(event_id AS VARCHAR)), 1, 64) AS ts_prefixed_id,
+             |  printf('%s?identifier=%s|%s', 'Clip', 'urn:graft:event', CAST(event_id AS VARCHAR)) AS conditional_ref
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // --------------------------------------------- q23 quantity parsing
+    QueryDef(
+      "q23_parse_quantity",
+      (s, d) => {
+        val qs = when(col("l_linenumber") % 5 === 0,
+          concat(lit("<"), col("l_quantity").cast("int")))
+          .when(col("l_linenumber") % 5 === 1,
+            concat(lit(">= "), col("l_quantity").cast("int")))
+          .when(col("l_linenumber") % 5 === 2, col("l_quantity").cast("int").cast("string"))
+          .when(col("l_linenumber") % 5 === 3, lit("  7.5 "))
+          .otherwise(lit("n/a"))
+        val parsed = parseQuantity(qs)
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), qs.as("raw"),
+            parsed.getField("comparator").as("comparator"),
+            parsed.getField("value").as("value"),
+            parsed.getField("text").as("text"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH src AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CASE l_linenumber % 5
+             |      WHEN 0 THEN '<' || CAST(trunc(l_quantity) AS INT)
+             |      WHEN 1 THEN '>= ' || CAST(trunc(l_quantity) AS INT)
+             |      WHEN 2 THEN CAST(CAST(trunc(l_quantity) AS INT) AS VARCHAR)
+             |      WHEN 3 THEN '  7.5 '
+             |      ELSE 'n/a' END AS raw
+             |  FROM lineitem)
+             |SELECT l_orderkey, l_linenumber, raw,
+             |  CASE WHEN regexp_extract(trim(raw), '^(?:<=|>=|<|>)?\s*(-?[0-9]+(?:\.[0-9]+)?)$', 1) = '' THEN NULL
+             |       WHEN regexp_extract(trim(raw), '^(<=|>=|<|>)', 1) = '' THEN NULL
+             |       ELSE regexp_extract(trim(raw), '^(<=|>=|<|>)', 1) END AS comparator,
+             |  CASE WHEN regexp_extract(trim(raw), '^(?:<=|>=|<|>)?\s*(-?[0-9]+(?:\.[0-9]+)?)$', 1) = '' THEN NULL
+             |       ELSE CAST(regexp_extract(trim(raw), '^(?:<=|>=|<|>)?\s*(-?[0-9]+(?:\.[0-9]+)?)$', 1) AS DOUBLE) END AS value,
+             |  CASE WHEN regexp_extract(trim(raw), '^(?:<=|>=|<|>)?\s*(-?[0-9]+(?:\.[0-9]+)?)$', 1) = '' THEN trim(raw)
+             |       ELSE NULL END AS text
+             |FROM src ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // --------------------------------------- q24 reference-range parsing
+    QueryDef(
+      "q24_parse_range",
+      (s, d) => {
+        val qint = col("l_quantity").cast("int")
+        val rs = when(col("l_linenumber") % 8 === 0,
+          concat(qint, lit("-"), qint + 10))
+          .when(col("l_linenumber") % 8 === 1, concat(lit("- <"), qint))
+          .when(col("l_linenumber") % 8 === 2, concat(lit(">"), qint, lit("-")))
+          .when(col("l_linenumber") % 8 === 3, concat(qint, lit(" - "), qint + 5))
+          .when(col("l_linenumber") % 8 === 4, concat(lit("text"), qint, lit("-9")))
+          .when(col("l_linenumber") % 8 === 5, lit("1 - test"))
+          .when(col("l_linenumber") % 8 === 6, qint.cast("string"))
+          .otherwise(lit(""))
+        val parsed = parseReferenceRange(rs)
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), rs.as("raw"),
+            parsed.getField("low").as("low"),
+            parsed.getField("high").as("high"),
+            parsed.getField("text").as("text"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH src AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CASE l_linenumber % 8
+             |      WHEN 0 THEN CAST(trunc(l_quantity) AS INT) || '-' || (CAST(trunc(l_quantity) AS INT) + 10)
+             |      WHEN 1 THEN '- <' || CAST(trunc(l_quantity) AS INT)
+             |      WHEN 2 THEN '>' || CAST(trunc(l_quantity) AS INT) || '-'
+             |      WHEN 3 THEN CAST(trunc(l_quantity) AS INT) || ' - ' || (CAST(trunc(l_quantity) AS INT) + 5)
+             |      WHEN 4 THEN 'text' || CAST(trunc(l_quantity) AS INT) || '-9'
+             |      WHEN 5 THEN '1 - test'
+             |      WHEN 6 THEN CAST(CAST(trunc(l_quantity) AS INT) AS VARCHAR)
+             |      ELSE '' END AS raw
+             |  FROM lineitem),
+             |p AS (
+             |  SELECT *, trim(raw) AS t,
+             |    trim(regexp_extract(trim(raw), '^([^-]*)-', 1)) AS low_raw,
+             |    trim(regexp_extract(trim(raw), '^[^-]*-(.*)$', 1)) AS high_raw
+             |  FROM src),
+             |v AS (
+             |  SELECT *,
+             |    (contains(t, '-')
+             |      AND (low_raw = '' OR regexp_matches(low_raw, '^[<>]?\s*-?[0-9]+(?:\.[0-9]+)?$'))
+             |      AND (high_raw = '' OR regexp_matches(high_raw, '^[<>]?\s*-?[0-9]+(?:\.[0-9]+)?$'))
+             |      AND NOT (low_raw = '' AND high_raw = '')) AS valid
+             |  FROM p)
+             |SELECT l_orderkey, l_linenumber, raw,
+             |  CASE WHEN valid AND low_raw <> '' THEN CAST(regexp_extract(low_raw, '(-?[0-9]+(?:\.[0-9]+)?)', 1) AS DOUBLE) END AS low,
+             |  CASE WHEN valid AND high_raw <> '' THEN CAST(regexp_extract(high_raw, '(-?[0-9]+(?:\.[0-9]+)?)', 1) AS DOUBLE) END AS high,
+             |  CASE WHEN NOT valid THEN t END AS text
+             |FROM v ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ----------------------------------------- q25 transcript normalize
+    QueryDef(
+      "q25_normalize",
+      (s, d) =>
+        graft.synth.ClipGen.clipsMeta(s, d)
+          .select(col("event_id"), col("clip_id"), col("transcript"),
+            normalizeTranscript(col("transcript")).as("transcript_norm"),
+            tokenCount(normalizeTranscript(col("transcript"))).as("n_tokens"))
+          .orderBy(col("event_id")),
+      Some(s"""WITH clips AS (${graft.synth.ClipGen.metaSql})
+              |SELECT event_id, clip_id, transcript,
+              |  ${normSql("transcript")} AS transcript_norm,
+              |  CASE WHEN length(${normSql("transcript")}) = 0 THEN 0
+              |       ELSE len(string_split(${normSql("transcript")}, ' ')) END AS n_tokens
+              |FROM clips ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------ q26 quality scores
+    QueryDef(
+      "q26_quality",
+      (s, d) => {
+        val q = qualityStruct(col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            q.getField("n_tokens").as("n_tokens"),
+            q.getField("mean_token_len").as("mean_token_len"),
+            q.getField("stopword_ratio").as("stopword_ratio"),
+            q.getField("punct_ratio").as("punct_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH n AS (
+              |  SELECT doc_id, text, ${normSql("text")} AS norm FROM documents),
+              |m AS (
+              |  SELECT doc_id, text, norm,
+              |    CASE WHEN length(norm) = 0 THEN 0 ELSE len(string_split(norm, ' ')) END AS n_tokens
+              |  FROM n)
+              |SELECT doc_id, n_tokens,
+              |  round(CASE WHEN n_tokens = 0 THEN 0.0
+              |    ELSE CAST(length(norm) - (n_tokens - 1) AS DOUBLE) / n_tokens END, 6) AS mean_token_len,
+              |  round(CASE WHEN n_tokens = 0 THEN 0.0
+              |    ELSE CAST(len(list_filter(string_split(norm, ' '), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / n_tokens END, 6) AS stopword_ratio,
+              |  round(CASE WHEN length(text) = 0 THEN 0.0
+              |    ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------- q27 language id
+    QueryDef(
+      "q27_langid",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, lang, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+              |sc AS (
+              |  SELECT doc_id, lang,
+              |    len(list_filter(toks, x -> list_contains(['the','a','fast','order'], x))) AS s_en,
+              |    len(list_filter(toks, x -> list_contains(['window','hash','batch'], x))) AS s_de,
+              |    len(list_filter(toks, x -> list_contains(['table','scan','merge'], x))) AS s_es,
+              |    len(list_filter(toks, x -> list_contains(['join','filter','column'], x))) AS s_fr,
+              |    len(list_filter(toks, x -> list_contains(['spark','data','row'], x))) AS s_zh
+              |  FROM tk)
+              |SELECT doc_id, lang,
+              |  CASE WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+              |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+              |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+              |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+              |       ELSE 'zh' END AS pred_lang
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------ q28 fingerprinting
+    QueryDef(
+      "q28_fingerprint",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, ${normSql("text")} AS norm,
+              |    string_split(${normSql("text")}, ' ') AS toks FROM documents)
+              |SELECT doc_id,
+              |  CASE WHEN len(toks) < 5 THEN md5(norm)
+              |       ELSE list_aggregate(list_transform(range(1, len(toks) - 3),
+              |         i -> md5(toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)] || ' ' || toks[CAST(i+4 AS INT)])), 'min')
+              |  END AS fp
+              |FROM tk ORDER BY doc_id""".stripMargin)))
+}

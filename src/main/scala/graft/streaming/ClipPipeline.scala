@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.sql.Timestamp
+import java.time.LocalDateTime
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,7 +18,7 @@ final case class ClipMeta(
     dur_ms: Int,
     codec: String,
     transcript: String,
-    event_time: Timestamp,
+    event_time: java.sql.Timestamp,
     event_id: Long)
 
 /** Dedup state per clip_id: occurrences seen so far. */
@@ -86,8 +86,11 @@ object ClipPipeline {
   /** Deterministic timestamp-prefixed surrogate id (C3 analogue,
     * /root/reference/src/main/java/de/unimarburg/diz/labtofhir/util/TimestampPrefixedId.java:23-59).
     */
+  def epochMs(t: LocalDateTime): Long =
+    t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
   def outId(c: Clip): String = {
-    val millis = c.event_time.getTime
+    val millis = epochMs(c.event_time)
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val sha = md.digest(s"${c.clip_id}|${c.codec}".getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
@@ -125,7 +128,7 @@ object ClipPipeline {
       if (state.getOption.isDefined && stateTtlMs > 0) {
         val wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(math.max(wm + stateTtlMs,
-          sorted.lastOption.map(_.event_time.getTime + stateTtlMs).getOrElse(wm + stateTtlMs)))
+          sorted.lastOption.map(r => r.event_time.getTime + stateTtlMs).getOrElse(wm + stateTtlMs)))
       }
       sorted.iterator.zipWithIndex.map { case (r, i) =>
         val occ = base + i + 1

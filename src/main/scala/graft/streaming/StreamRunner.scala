@@ -23,7 +23,31 @@ object StreamRunner {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val r = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(path)
+    r.parquet(streamableDir(path))
+  }
+
+  /** The file stream source requires a directory; a single-file input
+    * (the driver's one-parquet-per-table layout) is staged into a
+    * cached temp directory once.
+    */
+  def streamableDir(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isRegularFile(p)) path
+    else {
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_stream_src",
+        p.getParent.getFileName.toString, p.getFileName.toString + ".d")
+      val target = dir.resolve(p.getFileName)
+      if (!java.nio.file.Files.exists(target)) {
+        java.nio.file.Files.createDirectories(dir)
+        val tmp = dir.resolve(p.getFileName.toString + ".tmp")
+        java.nio.file.Files.copy(p, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      dir.toString
+    }
   }
 
   /** Run a streaming DataFrame to completion over all currently

