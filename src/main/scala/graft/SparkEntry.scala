@@ -18,6 +18,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     functions.SimHash32.register(spark)
+    functions.MinHash32.register(spark)
     Registry.all.find(_.name == "p01_decode_full").get
       .fn(spark, "/root/testdata/sf0.001")
   }
@@ -27,6 +28,7 @@ object SparkEntry {
     Registry.all.map { q =>
       q.name -> { (s: SparkSession, d: String) =>
         functions.SimHash32.register(s)
+        functions.MinHash32.register(s)
         q.fn(s, d)
       }
     }.toMap

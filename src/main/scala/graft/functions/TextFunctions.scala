@@ -156,10 +156,20 @@ object TextFunctions {
 
   /** Document fingerprint: min MD5 over 5-gram token shingles
     * (winnowing-style); < 5 tokens → MD5 of the normalized text.
+    *
+    * Prefer [[fingerprintFromToks]] with pre-materialized norm/toks
+    * columns: inlined here, Catalyst re-evaluates the normalize+split
+    * inside every element_at of the lambda (no CSE across lambda
+    * bounds), which is O(tokens²) in string work.
     */
-  def fingerprint(text: Column): Column = {
-    val norm = normalizeTranscript(text)
-    val toks = split(norm, " ")
+  def fingerprint(text: Column): Column =
+    fingerprintFromToks(normalizeTranscript(text), split(normalizeTranscript(text), " "))
+
+  /** Fingerprint over already-computed norm + token columns. When
+    * `norm`/`toks` are plain attributes (own select stage), each is
+    * evaluated once per row — keep it that way in hot paths.
+    */
+  def fingerprintFromToks(norm: Column, toks: Column): Column = {
     val n = size(toks)
     val shingleHashes = transform(
       sequence(lit(1), n - lit(4)),
@@ -184,9 +194,15 @@ object TextFunctions {
         i => norm.substr(i, lit(k))))
   }
 
-  /** Word n-gram shingles (distinct). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(normalizeTranscript(text), " ")
+  /** Word n-gram shingles (distinct). Prefer [[wordShinglesFromToks]]
+    * over a materialized token column in hot paths (see
+    * [[fingerprintFromToks]] for why).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromToks(split(normalizeTranscript(text), " "), n)
+
+  /** Shingles over an already-computed token column. */
+  def wordShinglesFromToks(toks: Column, n: Int): Column = {
     val cnt = size(toks)
     when(cnt < n, array(concat_ws(" ", toks)))
       .otherwise(array_distinct(transform(

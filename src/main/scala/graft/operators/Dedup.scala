@@ -32,12 +32,24 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures (k hashes over word-`n`-gram shingles). */
+  /** MinHash signatures (k hashes over word-`n`-gram shingles).
+    * `useNative` selects the [[graft.functions.MinHash32]] expression
+    * (identical output, one digest per seed×shingle — the hot path);
+    * the columnar formula is kept as its oracle-matchable twin.
+    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, k: Int): DataFrame =
-    docs.select(
-      col(idCol),
-      minhashSignature(wordShingles(col(textCol), shingleN), k).as("sig"))
+      shingleN: Int, k: Int, useNative: Boolean = true): DataFrame = {
+    // toks and shingles land in their own select stages so Catalyst
+    // evaluates each once per row (CollapseProject keeps the boundary:
+    // inlining would duplicate a non-cheap expression)
+    val withSh = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), wordShinglesFromToks(col("__toks"), shingleN).as("__sh"))
+    val sig =
+      if (useNative) graft.functions.MinHash32.minhash32(col("__sh"), k)
+      else minhashSignature(col("__sh"), k)
+    withSh.select(col(idCol), sig.as("sig"))
+  }
 
   /** MinHash + LSH candidate pairs with estimated Jaccard ≥ threshold.
     *
@@ -78,9 +90,11 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(
-      col(idCol), col(blockCol).as("block"),
-      wordShingles(col(textCol), shingleN).as("shingles"))
+    val sh = docs
+      .select(col(idCol), col(blockCol).as("block"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("block"),
+        wordShinglesFromToks(col("__toks"), shingleN).as("shingles"))
     val ex = sh.select(
       col(idCol), col("block"), size(col("shingles")).as("n_sh"),
       explode(col("shingles")).as("shingle"))
@@ -104,12 +118,12 @@ object Dedup {
     * columnar formula is its oracle-matchable twin).
     */
   def simhashDocs(docs: DataFrame, idCol: String, textCol: String,
-      useNative: Boolean = false): DataFrame = {
-    val toks = tokens(col(textCol))
+      useNative: Boolean = true): DataFrame = {
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
     val sh =
-      if (useNative) graft.functions.SimHash32.simhash32(toks)
-      else simhash32Col(toks)
-    docs.select(col(idCol), sh.as("simhash"))
+      if (useNative) graft.functions.SimHash32.simhash32(col("__toks"))
+      else simhash32Col(col("__toks"))
+    withToks.select(col(idCol), sh.as("simhash"))
   }
 
   /** SimHash near-duplicate pairs: band the 32-bit hash into 4 bytes;
@@ -117,7 +131,7 @@ object Dedup {
     * Hamming distance ≤ 3); verify with exact popcount distance.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, useNative: Boolean = false): DataFrame = {
+      maxHamming: Int = 3, useNative: Boolean = true): DataFrame = {
     val hashed = simhashDocs(docs, idCol, textCol, useNative)
     val banded = hashed.select(
       col(idCol), col("simhash"),

@@ -20,7 +20,7 @@ object ClipQueries {
     QueryDef(
       "p01_decode_full",
       (s, d) => {
-        val mapped = ClipPipeline.decodeStage(ClipGen.clips(s, d))
+        val mapped = ClipPipeline.decodeStage(ClipGen.stagedClips(s, d))
         mapped.toDF()
           .select(col("clip_id"), col("out_id"), col("sr_hz"), col("dur_ms"),
             col("codec"),
@@ -42,7 +42,7 @@ object ClipQueries {
     QueryDef(
       "p02_decode_meta",
       (s, d) => {
-        val mapped = ClipPipeline.decodeStage(ClipGen.clips(s, d))
+        val mapped = ClipPipeline.decodeStage(ClipGen.stagedClips(s, d))
         mapped.toDF()
           .select(col("clip_id"), col("out_id"), col("codec"),
             col("pcm.n_samples").as("n_samples"),

@@ -129,7 +129,7 @@ object DedupQueries {
     QueryDef(
       "q34_simhash_pairs",
       (s, d) =>
-        Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 10)
+        Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 6)
           .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH tk AS (
               |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
@@ -152,6 +152,6 @@ object DedupQueries {
               |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
               |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
               |FROM bd a JOIN bd b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
               |ORDER BY id_a, id_b""".stripMargin)))
 }

@@ -222,7 +222,10 @@ object TextQueries {
       "q28_fingerprint",
       (s, d) =>
         t(s, d, "documents")
-          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .select(col("doc_id"), normalizeTranscript(col("text")).as("__norm"))
+          .select(col("doc_id"), col("__norm"), split(col("__norm"), " ").as("__toks"))
+          .select(col("doc_id"),
+            fingerprintFromToks(col("__norm"), col("__toks")).as("fp"))
           .orderBy(col("doc_id")),
       Some(s"""WITH tk AS (
               |  SELECT doc_id, ${normSql("text")} AS norm,

@@ -41,39 +41,23 @@ object ClipPipeline {
     * (/root/reference/src/main/java/de/unimarburg/diz/labtofhir/processor/LabToFhirProcessor.java:39-40).
     */
   def mapClip(c: Clip): Option[MappedClip] =
-    Codecs.decode(c.codec, c.bytes) match {
-      case Left(_) => None
-      case Right(samples) =>
-        if (samples.isEmpty) None // empty-result guard (F3)
-        else {
-          var sumSq = 0.0
-          var peak = 0.0
-          var zc = 0
-          var clipped = 0
-          var i = 0
-          while (i < samples.length) {
-            val v = samples(i).toDouble
-            sumSq += v * v
-            val a = math.abs(v)
-            if (a > peak) peak = a
-            if (a >= 0.999) clipped += 1
-            if (i > 0 && ((samples(i - 1) >= 0) != (samples(i) >= 0))) zc += 1
-            i += 1
-          }
-          val rms = math.sqrt(sumSq / samples.length)
-          val norm = normalizeTranscriptJvm(c.transcript)
-          val nTok = if (norm.isEmpty) 0 else norm.count(_ == ' ') + 1
-          Some(MappedClip(
-            clip_id = c.clip_id,
-            out_id = outId(c),
-            sr_hz = c.sr_hz,
-            dur_ms = c.dur_ms,
-            codec = c.codec,
-            pcm = PcmSummary(samples.length, rms, peak, zc, clipped),
-            transcript_norm = norm,
-            n_tokens = nTok,
-            event_time = c.event_time))
-        }
+    // fused decode+stats: no per-sample allocation (Codecs.summarize)
+    Codecs.summarize(c.codec, c.bytes) match {
+      case Left(_) => None // F4 exception guard: skip, don't crash
+      case Right(st) =>
+        val rms = math.sqrt(st.sumSq / st.n)
+        val norm = normalizeTranscriptJvm(c.transcript)
+        val nTok = if (norm.isEmpty) 0 else norm.count(_ == ' ') + 1
+        Some(MappedClip(
+          clip_id = c.clip_id,
+          out_id = outId(c),
+          sr_hz = c.sr_hz,
+          dur_ms = c.dur_ms,
+          codec = c.codec,
+          pcm = PcmSummary(st.n, rms, st.peak, st.zeroCrossings, st.clipped),
+          transcript_norm = norm,
+          n_tokens = nTok,
+          event_time = c.event_time))
     }
 
   /** JVM twin of [[graft.functions.TextFunctions.normalizeTranscript]]

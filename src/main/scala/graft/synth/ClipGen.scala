@@ -130,6 +130,34 @@ object ClipGen {
       }
   }
 
+  /** Path of the materialized clip table for one scale factor. */
+  def clipsTablePath(sfDir: String): String =
+    java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_clips",
+        java.nio.file.Paths.get(sfDir).getFileName.toString)
+      .toString
+
+  /** The clip table materialized as parquet — THE engine input table
+    * per BASELINE.json `input_hint` (clip_id, bytes, sr_hz, dur_ms,
+    * codec, transcript [, event_time]). Synthesized once per scale
+    * factor (markers make concurrent/repeat calls idempotent); all
+    * decode-pipeline queries and benches read binary payloads from
+    * here, so decode throughput measures decode, not synthesis.
+    */
+  def stagedClips(spark: SparkSession, sfDir: String): Dataset[Clip] = {
+    import spark.implicits._
+    val dir = clipsTablePath(sfDir)
+    val marker = java.nio.file.Paths.get(dir + ".ok")
+    if (!java.nio.file.Files.exists(marker)) {
+      clips(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(dir)
+      try java.nio.file.Files.createFile(marker)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    spark.read.parquet(dir).as[Clip]
+  }
+
   /** Late transcript updates: one per hot clip occurrence plus a slice
     * of cold clips, timestamped after the matching clip (FIXTURES.md
     * §2.2). SQL-expressible; keep in sync with [[updatesSql]].

@@ -14,6 +14,7 @@ object TestSpark {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     functions.SimHash32.register(s)
+    functions.MinHash32.register(s)
     s
   }
 }

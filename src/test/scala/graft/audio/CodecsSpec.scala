@@ -97,4 +97,34 @@ class CodecsSpec extends AnyFunSuite {
   test("snrDb of identical signals is infinite") {
     assert(Codecs.snrDb(signal, signal).isPosInfinity)
   }
+
+  test("fused summarize equals decode + explicit stats pass, bit-for-bit") {
+    for (seed <- 0L until 10L; codec <- Seq("pcm16le", "ulaw", "alaw", "adpcm")) {
+      val src = ClipGen.samplesFor(seed, 8000, 90)
+      val bytes = Codecs.encode(codec, src)
+      val st = Codecs.summarize(codec, bytes).toOption.get
+      val dec = Codecs.decode(codec, bytes).toOption.get
+      assert(st.n == dec.length)
+      var sumSq = 0.0; var peak = 0.0; var zc = 0; var clipped = 0
+      for (i <- dec.indices) {
+        val v = dec(i).toDouble
+        sumSq += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (math.abs(v) >= 0.999) clipped += 1
+        if (i > 0 && ((dec(i - 1) >= 0) != (dec(i) >= 0))) zc += 1
+      }
+      assert(st.sumSq == sumSq, s"$codec/$seed sumSq")
+      assert(st.peak == peak, s"$codec/$seed peak")
+      assert(st.zeroCrossings == zc, s"$codec/$seed zc")
+      assert(st.clipped == clipped, s"$codec/$seed clipped")
+    }
+  }
+
+  test("summarize rejects the same malformed payloads decode does") {
+    assert(Codecs.summarize("mp3", Array[Byte](1)).isLeft)
+    assert(Codecs.summarize("pcm16le", Array[Byte](1, 2, 3)).isLeft)
+    assert(Codecs.summarize("adpcm", Array[Byte](1, 2)).isLeft)
+    assert(Codecs.summarize("ulaw", null).isLeft)
+    assert(Codecs.summarize("ulaw", Array.empty[Byte]).isLeft) // empty guard F3
+  }
 }

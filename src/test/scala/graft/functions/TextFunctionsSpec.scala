@@ -110,4 +110,14 @@ class TextFunctionsSpec extends AnyFunSuite {
     // no marker hits at all → all scores 0 → tie → 'de'
     assert(one(langId(col("s")), "zzz qqq").getString(0) == "de")
   }
+
+  test("minhash32 native expression equals the columnar md5 formula") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val sh = wordShingles(col("text"), 3)
+    val both = docs.select(
+      minhashSignature(sh, 8).as("a"),
+      MinHash32.minhash32(sh, 8).as("b"))
+    assert(both.filter(col("a") =!= col("b")).count() == 0)
+  }
 }
