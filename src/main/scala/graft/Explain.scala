@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection utility: prints `explain("formatted")` for the
+  * named queries (or a default set of plan-sensitive ones) so
+  * pushdown / pruning / join strategies can be reviewed per round.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q02_filter_project", "q03_join_agg", "q15_range_join",
+        "q16_asof_join", "q41_salted_rollup", "q31_minhash_pairs")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "256") // binary-payload tables: 4096-row default batches OOM on ~60KB blobs
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}

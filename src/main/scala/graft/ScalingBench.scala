@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.ClipPipeline
+import graft.synth.ClipGen
+
+/** Scaling-efficiency evidence (BASELINE.json `north_rule`): the same
+  * job at two parallelism levels on identical input — `local[8]` vs
+  * `local[32]` stands in for N vs 4N executors (no real cluster in
+  * this sandbox). Prints one JSON line with throughput at both levels
+  * and the scaling efficiency  eff = (t_low / t_high) / (cpus_high /
+  * cpus_low); target ≥ 0.8.
+  *
+  * Workload = the engine's hot path: staged clip table scan → fused
+  * decode map → per-codec rollup (scan + narrow map + one partial-agg
+  * exchange), plus the streaming dedup micro-batch pipeline for p99
+  * batch latency.
+  */
+object ScalingBench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "256") // binary-payload tables: 4096-row default batches OOM on ~60KB blobs
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Decode + rollup over the staged table repeated `workScale` times
+    * (self-union): per-core work must dwarf the fixed driver/stage
+    * overhead (~0.5 s) or the high-parallelism run is overhead-capped
+    * and the efficiency number measures Spark's constant costs instead
+    * of the engine.
+    */
+  private def decodeWorkload(spark: SparkSession, sfDir: String,
+      workScale: Int): DataFrame = {
+    val clips = ClipGen.stagedClips(spark, sfDir)
+    val repeated = Seq.fill(workScale)(clips.toDF()).reduce(_ union _)
+    import spark.implicits._
+    ClipPipeline.decodeStage(repeated.as[graft.model.Clip])
+      .toDF()
+      .groupBy(col("codec"))
+      .agg(count(lit(1)).as("n"), sum(col("dur_ms")).as("d"),
+        avg(col("pcm.rms")).as("r"))
+  }
+
+  private def timeIt(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Batch-pipeline seconds (min of `reps` timed runs after warmup). */
+  private def runBatch(cpus: Int, sfDir: String, reps: Int,
+      workScale: Int): Double = {
+    val spark = session(cpus)
+    try {
+      decodeWorkload(spark, sfDir, 1).write.format("noop")
+        .mode("overwrite").save() // warmup: full plan + JIT at 1x scale
+      (1 to reps).map { _ =>
+        timeIt(decodeWorkload(spark, sfDir, workScale)
+          .write.format("noop").mode("overwrite").save())
+      }.min
+    } finally spark.stop()
+  }
+
+  /** Streaming micro-batch latencies (ms) for the dedup pipeline. */
+  private def runStreamLatencies(cpus: Int, sfDir: String): Seq[Double] = {
+    val spark = session(cpus)
+    try {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      // events staged as 16 files, 1 per trigger: Kafka-partition-sized
+      // micro-batches instead of one monolith
+      val streamDir = java.nio.file.Paths
+        .get(sys.props("java.io.tmpdir"), "graft_stream_events",
+          java.nio.file.Paths.get(sfDir).getFileName.toString).toString
+      val marker = java.nio.file.Paths.get(streamDir + ".ok")
+      if (!java.nio.file.Files.exists(marker)) {
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .repartition(16).write.mode("overwrite").parquet(streamDir)
+        try java.nio.file.Files.createFile(marker)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      import spark.implicits._
+      val clips = ClipGen
+        .metaProjection(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir))
+        .withColumn("event_time", col("event_time").cast("timestamp"))
+        .withWatermark("event_time", "10 minutes")
+        .as[graft.streaming.ClipMeta]
+      val q = ClipPipeline.dedupStage(clips).toDF()
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toDouble)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val lo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "7").toInt
+    val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS_HI", "28").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val workScale = sys.env.getOrElse("SPARK_GRAFT_WORK_SCALE", "4").toInt
+
+    // stage input once (full parallelism), outside all timings
+    val pre = session(hi)
+    val nClips =
+      try ClipGen.stagedClips(pre, sfDir).count()
+      finally pre.stop()
+
+    val tLo = runBatch(lo, sfDir, reps, workScale)
+    val tHi = runBatch(hi, sfDir, reps, workScale)
+    val latLo = runStreamLatencies(lo, sfDir)
+    val latHi = runStreamLatencies(hi, sfDir)
+
+    def p99(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0
+      else xs.sorted.apply(math.min(xs.size - 1, (xs.size * 0.99).toInt))
+
+    val thLo = nClips.toDouble * workScale / tLo
+    val thHi = nClips.toDouble * workScale / tHi
+    val eff = (tLo / tHi) / (hi.toDouble / lo)
+    println(
+      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","sf":"$sfDir","n_clips":$nClips,"work_scale":$workScale,"cpus_lo":$lo,"cpus_hi":$hi,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,"clips_per_sec_lo":$thLo%.1f,"clips_per_sec_hi":$thHi%.1f,"stream_p99_batch_ms_lo":${p99(latLo)}%.0f,"stream_p99_batch_ms_hi":${p99(latHi)}%.0f}""")
+  }
+}

@@ -86,6 +86,20 @@ object ClipQueries {
               |FROM clips LEFT JOIN cat ON codec = code
               |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // --------------------------------- q41 salted rollup (skew guard D6)
+    // Execution is two-phase (salt-partial → combine) so no hot clip_id
+    // lands on one reducer; the oracle proves the result is identical
+    // to the plain GROUP BY.
+    QueryDef(
+      "q41_salted_rollup",
+      (s, d) =>
+        graft.operators.Skew.saltedClipRollup(ClipGen.clipsMeta(s, d))
+          .orderBy(col("clip_id")),
+      Some(s"""WITH clips AS (${ClipGen.metaSql})
+              |SELECT clip_id, COUNT(*) AS n_clips,
+              |  CAST(SUM(CAST(dur_ms AS BIGINT)) AS BIGINT) AS total_dur_ms
+              |FROM clips GROUP BY clip_id ORDER BY clip_id""".stripMargin)),
+
     // --------------------------------------------- q40 date-filter family
     // The reference's comparator×date filter (F2, BaseMapper.java:131-150)
     // over event dates — all five comparators in one result.

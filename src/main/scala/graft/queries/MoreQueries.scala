@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{ClipPipeline, StreamRunner}
+import graft.synth.ClipGen
+
+/** Second-wave operator surface: CSV source, JSON scalar ops, exact
+  * statistics from order-independent sums, percentiles, streaming
+  * sliding windows.
+  */
+object MoreQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Absolute path of the committed codec catalog CSV (S4 analogue —
+    * `;`-separated, header, duplicate key, empty field,
+    * /root/reference/src/main/resources/Mappingkatalog.csv shape).
+    */
+  val CsvPath = "/root/repo/src/main/resources/codec_catalog.csv"
+
+  import org.apache.spark.sql.types._
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------- q42 CSV scan + first-wins dedup (S4)
+    QueryDef(
+      "q42_csv_catalog",
+      (s, d) => {
+        val raw = s.read
+          .option("sep", ";")
+          .option("header", "true")
+          .csv(CsvPath)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("code")).orderBy(col("line_no").cast("int"))
+        raw.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("code"), col("category"))
+          .orderBy(col("code"))
+      },
+      Some(s"""SELECT code, category FROM (
+              |  SELECT code, category,
+              |    row_number() OVER (PARTITION BY code ORDER BY CAST(line_no AS INT)) AS rn
+              |  FROM read_csv('$CsvPath', delim=';', header=true, all_varchar=true))
+              |WHERE rn = 1 ORDER BY code""".stripMargin)),
+
+    // ------------------------------------------ q43 JSON extraction (C15)
+    QueryDef(
+      "q43_json_extract",
+      (s, d) =>
+        t(s, d, "events")
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ----------------------------------------- q44 JSON serialization (C15)
+    QueryDef(
+      "q44_to_json",
+      (s, d) =>
+        t(s, d, "events")
+          .select(col("event_id"),
+            to_json(struct(col("event_id").as("id"),
+              col("event_type").as("t"))).as("js"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  printf('{"id":%d,"t":"%s"}', event_id, event_type) AS js
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // --------------------------------------- q45 exact percentiles (A3+)
+    QueryDef(
+      "q45_percentiles",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------- q46 correlation/stddev from order-independent sums
+    // Distributed float moment aggregates (stddev/corr built-ins) are
+    // partition-order dependent; the engine computes moments from EXACT
+    // decimal sums and derives the statistics in one deterministic
+    // double step — reproducible on any cluster layout.
+    QueryDef(
+      "q46_exact_stats",
+      (s, d) => {
+        val q = col("l_quantity").cast("decimal(18,6)")
+        val p = col("l_extendedprice").cast("decimal(18,6)")
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(q).as("sx"), sum(p).as("sy"),
+            sum(q * q).as("sxx"), sum(p * p).as("syy"),
+            sum(q * p).as("sxy"))
+          .select(
+            col("l_returnflag"),
+            col("n"),
+            round(
+              (col("n") * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) /
+                sqrt(
+                  (col("n") * col("sxx").cast("double") -
+                    col("sx").cast("double") * col("sx").cast("double")) *
+                    (col("n") * col("syy").cast("double") -
+                      col("sy").cast("double") * col("sy").cast("double"))),
+              6).as("corr_qty_price"),
+            round(
+              sqrt((col("n") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) /
+                (col("n") * (col("n") - 1))).cast("double"), 6)
+              .as("stddev_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+             |    SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS sxx,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS syy,
+             |    SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n,
+             |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |         (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price,
+             |  round(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * (n - 1))), 6) AS stddev_qty
+             |FROM m ORDER BY 1""".stripMargin)),
+
+    // ---------------------------- s06 streaming sliding-window rollup (D4)
+    QueryDef(
+      "s06_stream_sliding",
+      (s, d) => {
+        val clips = ClipGen.metaProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+        val rolled = ClipPipeline.slidingRollup(
+          clips.withWatermark("event_time", "1 hour"), "2 days", "1 day")
+        StreamRunner.runToMemory(rolled, "complete")
+          .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
+          .withColumn("window_end", col("window_end").cast("timestamp_ntz"))
+          .orderBy(col("window_start"), col("codec"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql})
+              |SELECT make_timestamp(((epoch_us(event_time) // 86400000000) - o.o) * 86400000000) AS window_start,
+              |  make_timestamp((((epoch_us(event_time) // 86400000000) - o.o) + 2) * 86400000000) AS window_end,
+              |  codec, COUNT(*) AS n_clips,
+              |  CAST(SUM(CAST(dur_ms AS BIGINT)) AS BIGINT) AS total_dur_ms
+              |FROM clips, (SELECT unnest([0, 1]) AS o) o
+              |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin)))
+}

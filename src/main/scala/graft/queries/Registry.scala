@@ -15,5 +15,6 @@ final case class QueryDef(
 object Registry {
   def all: Seq[QueryDef] =
     BatchQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      AnnQueries.defs ++ ClipQueries.defs ++ StreamQueries.defs
+      AnnQueries.defs ++ ClipQueries.defs ++ StreamQueries.defs ++
+      MoreQueries.defs
 }

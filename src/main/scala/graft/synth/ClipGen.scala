@@ -151,7 +151,9 @@ object ClipGen {
     if (!java.nio.file.Files.exists(marker)) {
       clips(spark, sfDir)
         .repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (16 * 1024 * 1024).toString)
+        .parquet(dir)
       try java.nio.file.Files.createFile(marker)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }

@@ -10,7 +10,10 @@ object TestSpark {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "256")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     functions.SimHash32.register(s)

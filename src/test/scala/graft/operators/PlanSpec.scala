@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Plan-shape regression tests: the properties that keep the engine
+  * fast at 100 TB are asserted on the actual physical plans, not
+  * hoped for — filter/column pushdown to the parquet scan, partition
+  * pruning on date-partitioned layouts, broadcast join selection, and
+  * shuffle-free co-located joins via bucketing (SURVEY.md §4).
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filter + projection reach the parquet scan (PushedFilters/ReadSchema)") {
+    val plan = formatted(
+      graft.SparkEntry.queries("q02_filter_project")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("LessThan(l_shipdate"))
+    assert(plan.contains("LessThan(l_quantity,10.0)"))
+    // column pruning: only the 4 needed columns are read
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(!readSchema.contains("l_extendedprice"))
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("metadata rollups never read the audio bytes column (column pruning)") {
+    import spark.implicits._
+    val clips = graft.synth.ClipGen.stagedClips(spark, "/root/testdata/sf0.001")
+    val rollup = clips.toDF().groupBy("codec")
+      .agg(count(lit(1)).as("n"), sum("dur_ms").as("d"))
+    val readSchema = formatted(rollup).linesIterator
+      .find(_.contains("ReadSchema:")).get
+    assert(!readSchema.contains("bytes"), s"bytes must be pruned: $readSchema")
+  }
+
+  test("small dimension joins are planned as broadcast hash joins") {
+    val plan = formatted(
+      graft.SparkEntry.queries("q03_join_agg")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("date-partitioned layout gets partition pruning from the date filter (F2 at scale)") {
+    val dir = Files.createTempDirectory("graft_part_").toString
+    val clips = graft.synth.ClipGen.clipsMeta(spark, "/root/testdata/sf0.001")
+      .withColumn("event_date", to_date(col("event_time")))
+    clips.write.mode("overwrite").partitionBy("event_date").parquet(dir)
+
+    val pruned = spark.read.parquet(dir)
+      .filter(col("event_date") === lit("2024-01-02").cast("date"))
+    val plan = formatted(pruned)
+    assert(plan.contains("PartitionFilters:"))
+    assert(plan.contains("event_date"), plan)
+    // and it actually scans a single partition's rows
+    assert(pruned.count() > 0)
+    assert(pruned.count() < clips.count() / 10)
+  }
+
+  test("bucketed tables join WITHOUT a shuffle (co-located join for 100 TB fact-fact joins)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val meta = graft.synth.ClipGen.clipsMeta(spark, "/root/testdata/sf0.001")
+      meta.write.mode("overwrite")
+        .bucketBy(8, "clip_id").sortBy("clip_id")
+        .saveAsTable("graft_bucketed_a")
+      meta.select(col("clip_id"), col("dur_ms").as("dur2"))
+        .write.mode("overwrite")
+        .bucketBy(8, "clip_id").sortBy("clip_id")
+        .saveAsTable("graft_bucketed_b")
+      val joined = spark.table("graft_bucketed_a")
+        .join(spark.table("graft_bucketed_b"), "clip_id")
+      val plan = formatted(joined)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_b")
+    }
+  }
+}
