@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -22,8 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * concat + hex encoding per element (measured 20×+ faster at bench).
   */
 case class MinHash32(child: Expression, k: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -36,8 +35,21 @@ case class MinHash32(child: Expression, k: Int)
         s"minhash32 requires array<string>, got $other")
   }
 
-  @transient private lazy val seedPrefixes: Array[Array[Byte]] =
-    (0 until k).map(s => s"$s:".getBytes(StandardCharsets.UTF_8)).toArray
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash32.evalArray(input.asInstanceOf[ArrayData], k)
+
+  /** Real codegen: static call keeps the enclosing whole-stage span. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHash32.evalArray($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash32 =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash32"
+}
+
+object MinHash32 {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
@@ -52,11 +64,19 @@ case class MinHash32(child: Expression, k: Int)
     new String(out)
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+
+  private def prefixesFor(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k,
+      kk => (0 until kk).map(s => (s.toString + ":").getBytes(StandardCharsets.UTF_8)).toArray)
+
+  /** Shared interpreted/codegen kernel. */
+  def evalArray(arr: ArrayData, k: Int): GenericArrayData = {
     val n = arr.numElements()
     val mins = new Array[String](k)
     val md = MessageDigest.getInstance("MD5")
+    val seedPrefixes = prefixesFor(k)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
@@ -75,14 +95,6 @@ case class MinHash32(child: Expression, k: Int)
     }
     new GenericArrayData(mins.map(m => UTF8String.fromString(if (m == null) "" else m)))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHash32 =
-    copy(child = newChild)
-
-  override def prettyName: String = "minhash32"
-}
-
-object MinHash32 {
 
   /** Register `minhash32(arr, k)` in the session function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{bit_count, call_function}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -18,12 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * UDF serialization wall, (b) sits directly on Catalyst's internal
   * `ArrayData`/`UTF8String` without row conversion, and (c) hashes each
   * token once instead of the 32 aggregate passes the pure-Column
-  * formula needs. MD5 is compute-bound JVM work, so `CodegenFallback`
-  * costs nothing measurable (SURVEY.md §4 "Codegen" row).
+  * formula needs. Codegen emits a static kernel call, so enclosing
+  * operators stay in one whole-stage span (SURVEY.md §4 "Codegen").
   */
 case class SimHash32(child: Expression)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
@@ -35,8 +34,28 @@ case class SimHash32(child: Expression)
         s"simhash32 requires array<string>, got $other")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash32.evalArray(input.asInstanceOf[ArrayData]))
+
+  /** Real codegen (not CodegenFallback): emits a static call so the
+    * surrounding operators stay inside one whole-stage-codegen span —
+    * no per-row boxing or virtual eval dispatch; the md5 work itself
+    * is the same either way.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHash32.evalArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash32"
+}
+
+object SimHash32 {
+
+  /** Shared interpreted/codegen kernel. */
+  def evalArray(arr: ArrayData): Long = {
     val n = arr.numElements()
     val sums = new Array[Int](32)
     val md = MessageDigest.getInstance("MD5")
@@ -64,16 +83,8 @@ case class SimHash32(child: Expression)
       if (sums(j) > 0) out |= 1L << (31 - j)
       j += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
-    copy(child = newChild)
-
-  override def prettyName: String = "simhash32"
-}
-
-object SimHash32 {
 
   /** Register `simhash32` in the session function registry (needed
     * once per session before using [[simhash32]] / SQL `simhash32()`).

@@ -147,6 +147,56 @@ object MoreQueries {
              |  round(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * (n - 1))), 6) AS stddev_qty
              |FROM m ORDER BY 1""".stripMargin)),
 
+    // ----------------------- p03 quarantine table (F4 as data, not logs)
+    QueryDef(
+      "p03_quarantine",
+      (s, d) => {
+        val q = ClipPipeline.quarantineStage(ClipGen.stagedClips(s, d))
+        q.toDF("clip_id", "codec", "reason")
+          .groupBy(col("codec"), col("reason"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("codec"), col("reason"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql})
+              |SELECT codec, 'unknown codec: unknown' AS reason, COUNT(*) AS n
+              |FROM clips WHERE codec = 'unknown'
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // -------------------- s07 streaming decode end-to-end (M4 on stream)
+    // The full reference topology on a true incremental plan: file
+    // stream over the binary clip table -> typed decode map -> rollup.
+    // The oracle checks decoded sample counts per codec, proving the
+    // decode ran (not just metadata passthrough).
+    QueryDef(
+      "s07_stream_decode",
+      (s, d) => {
+        import s.implicits._
+        ClipGen.stagedClips(s, d).head(1) // ensure staged
+        val clipSchema = StructType(Seq(
+          StructField("clip_id", StringType),
+          StructField("bytes", BinaryType),
+          StructField("sr_hz", IntegerType),
+          StructField("dur_ms", IntegerType),
+          StructField("codec", StringType),
+          StructField("transcript", StringType),
+          StructField("event_time", TimestampNTZType)))
+        val stream = s.readStream.schema(clipSchema)
+          .parquet(ClipGen.clipsTablePath(d))
+          .as[graft.model.Clip]
+        val rolled = ClipPipeline.decodeStage(stream)
+          .toDF()
+          .groupBy(col("codec"))
+          .agg(count(lit(1)).as("n_clips"),
+            sum(col("pcm.n_samples").cast("long")).as("total_samples"))
+        StreamRunner.runToMemory(rolled, "complete")
+          .orderBy(col("codec"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql})
+              |SELECT codec, COUNT(*) AS n_clips,
+              |  CAST(SUM((CAST(sr_hz AS BIGINT) * dur_ms) // 1000) AS BIGINT) AS total_samples
+              |FROM clips WHERE codec <> 'unknown'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---------------------------- s06 streaming sliding-window rollup (D4)
     QueryDef(
       "s06_stream_sliding",

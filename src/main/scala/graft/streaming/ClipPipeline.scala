@@ -87,6 +87,18 @@ object ClipPipeline {
     clips.flatMap(mapClip _)
   }
 
+  /** Quarantine view: the records the decode stage skips, with the
+    * reason — the engine's replacement for the reference's silent
+    * error log (F4, AimLabMapper.java:99-106): quarantined rows are a
+    * queryable table, not a log line.
+    */
+  def quarantineStage(clips: Dataset[Clip]): Dataset[(String, String, String)] = {
+    import clips.sparkSession.implicits._
+    clips.flatMap(c =>
+      Codecs.summarize(c.codec, c.bytes).left.toOption
+        .map(reason => (c.clip_id, c.codec, reason)))
+  }
+
   // -------------------------------------------------------- stateful dedup
 
   /** Per-key dedup/suffix function: occurrence `i` (event-time order)

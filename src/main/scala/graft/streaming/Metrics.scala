@@ -44,6 +44,7 @@ class GraftQueryListener extends StreamingQueryListener {
   final case class QueryStats(
       var inputRows: Long = 0L,
       var batches: Long = 0L,
+      var droppedByWatermark: Long = 0L,
       var lastObserved: Map[String, Row] = Map.empty)
 
   private val stats = new ConcurrentHashMap[String, QueryStats]()
@@ -56,6 +57,8 @@ class GraftQueryListener extends StreamingQueryListener {
     s.synchronized {
       s.inputRows += e.progress.numInputRows
       s.batches += 1
+      s.droppedByWatermark +=
+        e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
       val om = e.progress.observedMetrics
       if (om != null && !om.isEmpty)
         s.lastObserved = om.asScala.toMap
@@ -69,6 +72,12 @@ class GraftQueryListener extends StreamingQueryListener {
 
   def batches(queryName: String): Long =
     Option(stats.get(queryName)).map(_.batches).getOrElse(0L)
+
+  /** Late rows discarded by the watermark (D3) — the reference's
+    * skipped-record log, as a counter.
+    */
+  def droppedByWatermark(queryName: String): Long =
+    Option(stats.get(queryName)).map(_.droppedByWatermark).getOrElse(0L)
 
   def observedMetric(queryName: String, metricName: String): Option[Row] =
     Option(stats.get(queryName)).flatMap(_.lastObserved.get(metricName))
