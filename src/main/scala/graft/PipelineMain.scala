@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.sink.ExactlyOnceSink
+import graft.streaming.{ClipMeta, ClipPipeline, GraftQueryListener, Metrics}
+
+/** The deployable engine application — `spark-submit --class
+  * graft.PipelineMain <jar> [options]` runs the full reference
+  * topology (SURVEY.md §3) as concurrent structured-streaming queries
+  * over a clip table directory:
+  *
+  *   decode+normalize → mapped-record sink        (M1–M10, F1–F5)
+  *   keyed stateful dedup → decisions sink        (D1)
+  *   tumbling rollup (watermarked) → rollup sink  (A3/D4)
+  *   [optional] transcript-update join → sink     (J3)
+  *
+  * Every sink is the exactly-once batchId-committed MERGE protocol
+  * with per-partition lineage (D2/D7); restart with the same
+  * checkpoint dir resumes with no dup/dropped rows. On a cluster, the
+  * master/executor topology comes from spark-submit; locally pass
+  * `--master local[N]`.
+  *
+  * Options (all have defaults for a local smoke run):
+  *   --input <dir>       clip parquet dir (default: staged sf0.001)
+  *   --updates <dir>     transcript-update parquet dir (optional)
+  *   --output <dir>      sink root (default: ./pipeline_out)
+  *   --checkpoint <dir>  checkpoint root (default: <output>/_checkpoints)
+  *   --watermark <dur>   event-time watermark (default "10 minutes")
+  *   --window <dur>      rollup window (default "1 day")
+  *   --state-ttl-ms <n>  dedup state TTL (default 1800000)
+  *   --once              Trigger.AvailableNow (drain + exit); default
+  *   --interval <dur>    Trigger.ProcessingTime instead of --once
+  *   --rocksdb           use the RocksDB state store provider
+  */
+object PipelineMain {
+
+  private val clipSchema = StructType(Seq(
+    StructField("clip_id", StringType),
+    StructField("bytes", BinaryType),
+    StructField("sr_hz", IntegerType),
+    StructField("dur_ms", IntegerType),
+    StructField("codec", StringType),
+    StructField("transcript", StringType),
+    StructField("event_time", TimestampNTZType)))
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+      case Array(k) if k.startsWith("--")    => k.drop(2) -> "true"
+    }.toMap ++ args.lastOption.filter(_ == "--once").map(_ => "once" -> "true")
+
+  def main(args: Array[String]): Unit = {
+    val opt = parseArgs(args)
+    val builder = SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions",
+        opt.getOrElse("shuffle-partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
+      .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+      .config("spark.sql.adaptive.enabled", "true")
+    // master comes from spark-submit on a cluster; default local for dev
+    val spark =
+      (if (opt.contains("master") || sys.props.contains("spark.master")) builder
+       else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+        .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (opt.contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    val input = opt.getOrElse("input", {
+      graft.synth.ClipGen.stagedClips(spark, "/root/testdata/sf0.001").head(1)
+      graft.synth.ClipGen.clipsTablePath("/root/testdata/sf0.001")
+    })
+    val output = opt.getOrElse("output", "pipeline_out")
+    val ckpt = opt.getOrElse("checkpoint", s"$output/_checkpoints")
+    val watermark = opt.getOrElse("watermark", "10 minutes")
+    val windowDur = opt.getOrElse("window", "1 day")
+    val stateTtl = opt.getOrElse("state-ttl-ms", "1800000").toLong
+    val trigger =
+      opt.get("interval").map(Trigger.ProcessingTime(_)).getOrElse(Trigger.AvailableNow())
+
+    val listener = new GraftQueryListener
+    spark.streams.addListener(listener)
+
+    import spark.implicits._
+
+    def clipStream(): DataFrame =
+      spark.readStream.schema(clipSchema).parquet(input)
+
+    // ---- query 1: decode map → mapped-record sink (the reference's
+    //      core topology, M1/M4 + F1/F4)
+    val mappedSink = new ExactlyOnceSink(s"$output/mapped", Seq("out_id"))
+    val mapped = ClipPipeline
+      .decodeStage(clipStream().as[graft.model.Clip])
+      .toDF()
+      .withColumn("event_time", col("event_time").cast("timestamp"))
+    val q1 = Metrics.observed(mapped, "mapped_out")
+      .writeStream
+      .queryName("graft_mapped")
+      .foreachBatch((df: DataFrame, id: Long) => mappedSink.write(df, id))
+      .option("checkpointLocation", s"$ckpt/mapped")
+      .trigger(trigger)
+      .start()
+
+    // ---- query 2: keyed stateful dedup decisions (D1)
+    val dedupSink = new ExactlyOnceSink(s"$output/dedup", Seq("clip_id", "occurrence"))
+    val meta = clipStream()
+      .select(col("clip_id"), col("sr_hz"), col("dur_ms"), col("codec"),
+        col("transcript"), col("event_time").cast("timestamp").as("event_time"),
+        xxhash64(col("clip_id"), col("event_time")).as("event_id"))
+      .withWatermark("event_time", watermark)
+      .as[ClipMeta]
+    val q2 = ClipPipeline.dedupStage(meta, stateTtl).toDF()
+      .writeStream
+      .queryName("graft_dedup")
+      .foreachBatch((df: DataFrame, id: Long) => dedupSink.write(df, id))
+      .option("checkpointLocation", s"$ckpt/dedup")
+      .trigger(trigger)
+      .start()
+
+    // ---- query 3: watermarked tumbling rollup (A3/D4), append mode —
+    //      only finalized windows are committed
+    val rollupSink = new ExactlyOnceSink(s"$output/rollups", Seq("window_start", "codec"))
+    val rollup = ClipPipeline.tumblingRollup(
+      clipStream()
+        .withColumn("event_time", col("event_time").cast("timestamp"))
+        .withWatermark("event_time", watermark),
+      windowDur)
+    val q3 = rollup.writeStream
+      .queryName("graft_rollup")
+      .outputMode("append")
+      .foreachBatch((df: DataFrame, id: Long) => rollupSink.write(df, id))
+      .option("checkpointLocation", s"$ckpt/rollup")
+      .trigger(trigger)
+      .start()
+
+    // ---- query 4 (optional): transcript-update interval join (J3)
+    val q4 = opt.get("updates").map { updDir =>
+      val joinSink = new ExactlyOnceSink(s"$output/joined", Seq("clip_id", "u_event_time"))
+      val updates = spark.readStream
+        .schema(StructType(Seq(
+          StructField("clip_id", StringType),
+          StructField("u_transcript", StringType),
+          StructField("u_event_time", TimestampNTZType))))
+        .parquet(updDir)
+        .withColumn("u_event_time", col("u_event_time").cast("timestamp"))
+      val clips = clipStream()
+        .select(col("clip_id"), col("transcript"),
+          col("event_time").cast("timestamp").as("event_time"))
+      val joined = ClipPipeline.transcriptUpdateJoin(clips, updates, watermark, "10 MINUTES")
+      joined.writeStream
+        .queryName("graft_join")
+        .foreachBatch((df: DataFrame, id: Long) => joinSink.write(df, id))
+        .option("checkpointLocation", s"$ckpt/join")
+        .trigger(trigger)
+        .start()
+    }
+
+    (Seq(q1, q2, q3) ++ q4.toSeq).foreach(_.awaitTermination())
+
+    // metrics summary (D8) — rows processed per query + late drops
+    val summary = Seq("graft_mapped", "graft_dedup", "graft_rollup", "graft_join")
+      .map(n => s""""$n":{"rows":${listener.totalInputRows(n)},"batches":${listener.batches(n)},"late_dropped":${listener.droppedByWatermark(n)}}""")
+      .mkString("{", ",", "}")
+    println(s"""{"pipeline":"done","queries":$summary}""")
+    spark.stop()
+  }
+}

@@ -66,10 +66,14 @@ object Dedup {
       .withColumn("band_keys", lshBandKeys(col("sig"), bands, k / bands))
     val exploded = sigs
       .select(col(idCol), col("sig"), explode(col("band_keys")).as("band_key"))
-    val bounded = exploded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
-      .filter(col("bucket_n") <= maxBucketSize)
+    // skew guard: drop degenerate buckets via a broadcast anti-join
+    // against the (tiny) oversized-bucket blacklist — one aggregate +
+    // map-side filter instead of a full window sort over all bands
+    val oversized = exploded.groupBy(col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(col("band_key"))
+    val bounded = exploded.join(broadcast(oversized), Seq("band_key"), "left_anti")
     val a = bounded.select(
       col(idCol).as("id_a"), col("sig").as("sig_a"), col("band_key"))
     val b = bounded.select(
