@@ -70,6 +70,30 @@ object Joins {
     }
   }
 
+  /** Backward as-of join on the dedicated Catalyst operator
+    * ([[graft.plans.AsofJoin]]): same semantics as
+    * [[asofJoinBackward]], planned as one co-partitioned O(n+m)
+    * streaming merge per partition instead of union + window. The
+    * planner strategy is installed on the session on first use.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String, rightOrd: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark,
+      graft.plans.AsofJoin(lPlan, rPlan,
+        attr(lPlan, leftKey), attr(rPlan, rightKey),
+        attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, rightOrd)))
+  }
+
   /** Static broadcast lookup join with first-wins key dedup — the
     * Mappingkatalog pattern (SURVEY.md §2.4 J1 + §2.5 A2): the lookup
     * side is deduplicated by minimum `ordCol` (CSV line order) before

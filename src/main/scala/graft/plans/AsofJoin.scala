@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Backward as-of join as a first-class Catalyst operator
+  * (SURVEY.md §2.4 J4; the custom-operator tier (c) of the engine's
+  * extension policy — used because the composed union+window form
+  * ([[graft.operators.Joins.asofJoinBackward]]) needs a union of
+  * null-padded schemas plus a full window pass, while the dedicated
+  * operator is a single co-partitioned streaming merge).
+  *
+  * Semantics: for every left row, the latest right row with the same
+  * key and `rightTime <= leftTime`; ties on time resolved by the
+  * largest `rightOrd`. Unmatched left rows keep null right columns.
+  *
+  * Physical execution: children hash-clustered on the key and sorted
+  * (key, time [, ord]) — `EnsureRequirements` injects the exchanges
+  * and sorts — then a per-partition two-pointer merge that keeps ONE
+  * buffered right row ("latest so far") per key: O(n+m) time, O(1)
+  * state, no row buffered twice, spill-free regardless of key
+  * cardinality. This is the shape that survives 100 TB: one shuffle
+  * per side, sequential merge per partition.
+  */
+case class AsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightOrd: Expression)
+    extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping the logical node to its exec. Injected via
+  * `spark.experimental.extraStrategies` (see [[AsofJoin.install]]).
+  */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt, ro) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ro) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightOrd: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightOrd, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyOrdering = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrdering = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val numRightCols = right.output.size
+    val boundLeftKey = BindReferences.bindReference(leftKey, left.output)
+    val boundLeftTime = BindReferences.bindReference(leftTime, left.output)
+    val boundRightKey = BindReferences.bindReference(rightKey, right.output)
+    val boundRightTime = BindReferences.bindReference(rightTime, right.output)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      new Iterator[InternalRow] {
+        private val joined = new JoinedRow
+        private val nullRight = new GenericInternalRow(numRightCols)
+        private var rHead: InternalRow = _ // next unconsumed right row
+        private var rHeadKey: Any = _
+        private var rHeadTime: Any = _
+        private var matchRow: InternalRow = _ // latest right ≤ current left time
+        private var matchKey: Any = _
+
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rHead = rIter.next()
+            rHeadKey = boundRightKey.eval(rHead)
+            rHeadTime = boundRightTime.eval(rHead)
+          } else rHead = null
+
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = boundLeftKey.eval(l)
+          val lTime = boundLeftTime.eval(l)
+          // drop the buffered match if the key moved on
+          if (matchRow != null &&
+            keyOrdering.asInstanceOf[Ordering[Any]].compare(matchKey, lKey) != 0)
+            matchRow = null
+          // consume right rows up to (key, time) — rows sorted by
+          // (key, time, ord), so the last consumed one wins ties
+          var continue = rHead != null
+          while (continue) {
+            val kc = keyOrdering.asInstanceOf[Ordering[Any]].compare(rHeadKey, lKey)
+            if (kc < 0) {
+              advanceRight() // right key behind: skip
+              continue = rHead != null
+            } else if (kc == 0 &&
+              timeOrdering.asInstanceOf[Ordering[Any]].compare(rHeadTime, lTime) <= 0) {
+              matchRow = rHead.copy()
+              matchKey = rHeadKey
+              advanceRight()
+              continue = rHead != null
+            } else {
+              continue = false // right key ahead, or time beyond left
+            }
+          }
+          if (matchRow != null) joined(l, matchRow) else joined(l, nullRight)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -147,6 +147,34 @@ object MoreQueries {
              |  round(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * (n - 1))), 6) AS stddev_qty
              |FROM m ORDER BY 1""".stripMargin)),
 
+    // ----------------- q49 native as-of join (custom Catalyst operator)
+    // Same semantics + oracle as q16, executed by graft.plans.AsofJoinExec
+    // (LogicalPlan + SparkStrategy + merge-join SparkPlan) — proves the
+    // custom physical operator against the independent DuckDB oracle.
+    QueryDef(
+      "q49_asof_native",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id").as("custkey"), col("ts"))
+        val o = t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        graft.operators.Joins.asofJoinNative(ev, o,
+          "custkey", "o_custkey", "ts", "o_orderdate", "o_orderkey")
+          .select(col("event_id"), col("custkey"),
+            col("o_orderdate").as("asof_orderdate"),
+            col("o_orderkey").as("asof_orderkey"),
+            col("o_totalprice").as("asof_totalprice"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, e.user_id AS custkey,
+             |  o.o_orderdate AS asof_orderdate, o.o_orderkey AS asof_orderkey,
+             |  o.o_totalprice AS asof_totalprice
+             |FROM events e LEFT JOIN LATERAL (
+             |  SELECT o_orderdate, o_orderkey, o_totalprice FROM orders o
+             |  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+             |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
+             |ORDER BY e.event_id""".stripMargin)),
+
     // ----------------------- p03 quarantine table (F4 as data, not logs)
     QueryDef(
       "p03_quarantine",

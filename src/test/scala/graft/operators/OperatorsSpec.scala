@@ -39,6 +39,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("e4") == None)
   }
 
+  test("native AsofJoinExec matches the composed union+window as-of join") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id").as("custkey"), col("ts"))
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val native = Joins.asofJoinNative(ev, ord,
+      "custkey", "o_custkey", "ts", "o_orderdate", "o_orderkey")
+      .select(col("event_id"), col("o_orderkey"))
+      .as[(Long, Option[Long])].collect().toMap
+    val composed = Joins.asofJoinBackward(ev,
+      ord.withColumnRenamed("o_custkey", "custkey"),
+      "custkey", "ts", "o_orderdate", "o_orderkey",
+      Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("r_o_orderkey"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(native.size == composed.size)
+    assert(native == composed)
+    // and the physical plan actually uses the custom operator
+    val plan = Joins.asofJoinNative(ev, ord,
+      "custkey", "o_custkey", "ts", "o_orderdate", "o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(500))
+  }
+
   test("broadcastLookupJoin dedups lookup first-wins (MappingConfiguration.java:40-45)") {
     val facts = Seq("u", "v", "w").toDF("code2")
     val lookup = Seq(("u", "first", 1), ("u", "second", 2), ("v", "only", 7))
