@@ -56,9 +56,15 @@ class ExactlyOnceSink(outDir: String, orderCols: Seq[String]) extends Serializab
     Files.createDirectories(Paths.get(outDir, "_lineage"))
     Files.createDirectories(Paths.get(outDir, "data"))
 
-    // Deterministic file contents: stable global order before write.
+    // Deterministic file contents: hash-partition on the leading order
+    // column, then sort within partitions. (A global orderBy would use
+    // sampled range partitioning — file BOUNDARIES would then vary run
+    // to run, breaking the byte-identical-replay guarantee.)
     val ordered =
-      if (orderCols.nonEmpty) df.orderBy(orderCols.map(col): _*) else df
+      if (orderCols.nonEmpty)
+        df.repartition(col(orderCols.head))
+          .sortWithinPartitions(orderCols.map(col): _*)
+      else df
     val cached = ordered.cache()
     try {
       cached.write.mode("overwrite").parquet(stagingDir(batchId).toString)

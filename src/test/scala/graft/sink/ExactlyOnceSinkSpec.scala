@@ -83,17 +83,27 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     assert(firstLineage.contains("\"partitions\":"))
   }
 
-  test("byte-stable output: same batch written twice from scratch is identical") {
+  test("byte-stable output: same batch written twice from scratch is BYTE-identical") {
     val base = Files.createTempDirectory("eo_sink_det_").toString
-    val df = (1 to 1000).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
-      .repartition(4) // scrambled partitioning; sink must normalize order
+    def scrambled(seed: Int) = (1 to 1000).map(i => (i.toLong, s"p$i"))
+      .toDF("id", "payload")
+      .repartition(4 + seed) // different incoming partitioning each time
     val s1 = new ExactlyOnceSink(s"$base/a", Seq("id"))
     val s2 = new ExactlyOnceSink(s"$base/b", Seq("id"))
-    s1.write(df, 0)
-    s2.write(df, 0)
-    val rows1 = s1.readCommitted(spark).collect().map(_.toString).sorted.toSeq
-    val rows2 = s2.readCommitted(spark).collect().map(_.toString).sorted.toSeq
-    assert(rows1 == rows2)
-    assert(rows1.size == 1000)
+    s1.write(scrambled(0), 0)
+    s2.write(scrambled(3), 0)
+
+    def fileHashes(dir: String): Seq[String] = {
+      val d = new java.io.File(s"$dir/data/batch=0")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          md.digest(Files.readAllBytes(f.toPath)).map(b => f"$b%02x").mkString
+        }.toSeq
+    }
+    val (h1, h2) = (fileHashes(s"$base/a"), fileHashes(s"$base/b"))
+    assert(h1.nonEmpty)
+    assert(h1 == h2, "replayed output files must be byte-identical")
+    assert(s1.readCommitted(spark).count() == 1000)
   }
 }
