@@ -175,6 +175,27 @@ object MoreQueries {
              |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
              |ORDER BY e.event_id""".stripMargin)),
 
+    // ----------------- p04 1:N PCM frame expansion (M8/M9 analogue)
+    // flatMap 1:N over decoded audio; oracle checks the exact frame
+    // count per codec derived from (sr_hz, dur_ms) — proving the
+    // expansion hit every decoded sample window.
+    QueryDef(
+      "p04_frame_counts",
+      (s, d) => {
+        val frames = ClipPipeline.frameStage(ClipGen.stagedClips(s, d), frameMs = 100)
+        frames.toDF("clip_id", "codec", "frame_idx", "energy")
+          .groupBy(col("codec"))
+          .agg(count(lit(1)).as("n_frames"),
+            countDistinct(col("clip_id")).as("n_clips"))
+          .orderBy(col("codec"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql})
+              |SELECT codec,
+              |  CAST(SUM(((CAST(sr_hz AS BIGINT) * dur_ms) // 1000 + (sr_hz // 10) - 1) // (sr_hz // 10)) AS BIGINT) AS n_frames,
+              |  COUNT(DISTINCT clip_id) AS n_clips
+              |FROM clips WHERE codec <> 'unknown'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ----------------------- p03 quarantine table (F4 as data, not logs)
     QueryDef(
       "p03_quarantine",

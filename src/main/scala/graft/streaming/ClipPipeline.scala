@@ -151,6 +151,110 @@ object ClipPipeline {
         dedupFn(stateTtlMs))
   }
 
+  // ------------------------------------------------- session merge (D1b)
+
+  /** Accumulating session state for [[sessionMergeStage]]. */
+  final case class SessionAcc(
+      n: Int,
+      totalDurMs: Long,
+      lastTranscript: String,
+      lastEventMs: Long,
+      firstEventMs: Long)
+
+  /** Merged session record emitted when a key's session closes. */
+  final case class SessionMerge(
+      clip_id: String,
+      n_records: Int,
+      total_dur_ms: Long,
+      last_transcript: String,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp)
+
+  /** Session-window MERGE per clip_id: occurrences of a key within
+    * `gapMs` of each other accumulate into one state; when the
+    * event-time watermark passes last-event + gap, the state times out
+    * and ONE merged record (latest transcript wins, durations summed)
+    * is emitted — the full generalization of the reference's
+    * within-message merge (Hl7LabMapper.java:160-179) to
+    * watermark-driven session windows. Emission happens only at
+    * timeout, so late records inside the gap still merge.
+    */
+  def sessionMergeFn(gapMs: Long)(
+      key: String,
+      rows: Iterator[ClipMeta],
+      state: GroupState[SessionAcc]): Iterator[SessionMerge] = {
+    if (state.hasTimedOut) {
+      val acc = state.get
+      state.remove()
+      Iterator.single(SessionMerge(
+        clip_id = key,
+        n_records = acc.n,
+        total_dur_ms = acc.totalDurMs,
+        last_transcript = acc.lastTranscript,
+        session_start = new java.sql.Timestamp(acc.firstEventMs),
+        session_end = new java.sql.Timestamp(acc.lastEventMs + gapMs)))
+    } else {
+      val sorted = rows.toIndexedSeq.sortBy(r => (r.event_time.getTime, r.event_id))
+      if (sorted.nonEmpty) {
+        val prev = state.getOption
+        val acc0 = prev.getOrElse(
+          SessionAcc(0, 0L, null, Long.MinValue, sorted.head.event_time.getTime))
+        val acc = sorted.foldLeft(acc0) { (a, r) =>
+          SessionAcc(
+            n = a.n + 1,
+            totalDurMs = a.totalDurMs + r.dur_ms,
+            lastTranscript = r.transcript,
+            lastEventMs = math.max(a.lastEventMs, r.event_time.getTime),
+            firstEventMs = math.min(
+              if (a.n == 0) Long.MaxValue else a.firstEventMs,
+              r.event_time.getTime))
+        }
+        state.update(acc)
+        // timeout must stay ahead of the current watermark
+        state.setTimeoutTimestamp(
+          math.max(acc.lastEventMs + gapMs, state.getCurrentWatermarkMs() + 1))
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Streaming session-merge stage (requires a watermark on input). */
+  def sessionMergeStage(clips: Dataset[ClipMeta],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionMerge] = {
+    import clips.sparkSession.implicits._
+    clips
+      .groupByKey(_.clip_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionMergeFn(gapMs))
+  }
+
+  // ---------------------------------------------------- frame expansion
+
+  /** 1:N frame expansion (the M8/M9 analogue, SURVEY.md §2.9): decode
+    * each clip and emit one row per `frameMs` window of PCM with its
+    * energy — `flatMap`, so a clip with k frames becomes k rows with
+    * no intermediate array column.
+    */
+  def frameStage(clips: Dataset[Clip], frameMs: Int = 100)
+      : Dataset[(String, String, Int, Double)] = {
+    import clips.sparkSession.implicits._
+    clips.flatMap { c =>
+      Codecs.decode(c.codec, c.bytes) match {
+        case Left(_) => Iterator.empty
+        case Right(samples) =>
+          val frameLen = math.max(1, c.sr_hz * frameMs / 1000)
+          val nFrames = (samples.length + frameLen - 1) / frameLen
+          (0 until nFrames).iterator.map { f =>
+            var e = 0.0
+            var i = f * frameLen
+            val end = math.min(samples.length, (f + 1) * frameLen)
+            while (i < end) { e += samples(i).toDouble * samples(i); i += 1 }
+            (c.clip_id, c.codec, f, e)
+          }
+      }
+    }
+  }
+
   // ------------------------------------------------------- window rollups
 
   /** Tumbling-window rollup per codec (A3/D4): clips, total duration.

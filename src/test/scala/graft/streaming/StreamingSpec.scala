@@ -220,6 +220,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("session merge emits ONE merged record per key at watermark timeout (D1 merge)") {
+    val input = MemoryStream[ClipMeta](8, spark, None)
+    val merged = ClipPipeline.sessionMergeStage(
+      input.toDS().withWatermark("event_time", "0 seconds"),
+      gapMs = 5 * 60 * 1000) // 5-minute session gap
+    val q = merged.toDF()
+      .writeStream.format("memory").queryName("sess_merge")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two records of key m within the gap, one of key n
+      input.addData(meta("m", 0, 1), meta("m", 2, 2), meta("n", 1, 3))
+      q.processAllAvailable()
+      assert(spark.table("sess_merge").count() == 0, "nothing closes before watermark")
+      // advance watermark far past both sessions
+      input.addData(meta("z", 50, 4))
+      q.processAllAvailable()
+      input.addData(meta("z2", 55, 5)) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val rows = spark.table("sess_merge")
+        .select("clip_id", "n_records", "total_dur_ms", "last_transcript")
+        .as[(String, Int, Long, String)].collect().toSet
+      assert(rows.contains(("m", 2, 200L, "t2")), s"got $rows") // merged: 2 records, last transcript wins
+      assert(rows.contains(("n", 1, 100L, "t3")), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("frame expansion emits exactly ceil(n_samples/frame) rows per clip (1:N, M8/M9)") {
+    import graft.model.Clip
+    import graft.audio.Codecs
+    import graft.synth.ClipGen
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val samples = ClipGen.samplesFor(5, 8000, 250) // 2000 samples
+    val clips = Seq(
+      Clip("f1", Codecs.encode("pcm16le", samples), 8000, 250, "pcm16le", "x", t0),
+      Clip("bad", Array[Byte](1), 8000, 250, "unknown", "x", t0))
+    val frames = ClipPipeline.frameStage(clips.toDS(), frameMs = 100).collect()
+    // 2000 samples / 800-sample frames → 3 frames (last partial); bad clip skipped
+    assert(frames.count(_._1 == "f1") == 3)
+    assert(frames.forall(_._1 == "f1"))
+    val totalEnergy = frames.map(_._4).sum
+    // expected = energy of the DECODED samples (int16 quantization is
+    // part of the payload, not of the frame stage)
+    val decoded = Codecs.decode("pcm16le", Codecs.encode("pcm16le", samples)).toOption.get
+    val expected = decoded.map(v => v.toDouble * v).sum
+    assert(math.abs(totalEnergy - expected) < 1e-9)
+  }
+
   test("decode stage drops undecodable clips and keeps SNR ≥ 30 dB (M4/F4)") {
     import graft.model.Clip
     import graft.audio.Codecs
