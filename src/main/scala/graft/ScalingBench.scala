@@ -27,6 +27,8 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.parquet.columnarReaderBatchSize", "256") // binary-payload tables: 4096-row default batches OOM on ~60KB blobs
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -29,6 +29,11 @@ object SparkEntry {
       q.name -> { (s: SparkSession, d: String) =>
         functions.SimHash32.register(s)
         functions.MinHash32.register(s)
+        // see BENCH.md §3: InferFiltersFromGenerate re-evaluates
+        // expensive generator inputs in an interpreted filter (13x on
+        // the shingle join) — excluded for every engine query
+        s.conf.set("spark.sql.optimizer.excludedRules",
+          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         q.fn(s, d)
       }
     }.toMap
