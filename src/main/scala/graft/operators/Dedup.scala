@@ -99,9 +99,23 @@ object Dedup {
         tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("block"),
         wordShinglesFromToks(col("__toks"), shingleN).as("shingles"))
-    val ex = sh.select(
-      col(idCol), col("block"), size(col("shingles")).as("n_sh"),
-      explode(col("shingles")).as("shingle"))
+    // Explode through a typed-row barrier, NOT Catalyst explode():
+    // downstream join-key IsNotNull constraints would otherwise be
+    // pushed below the Generate with the full shingle expression
+    // inlined into an interpreted Filter (re-evaluating normalization
+    // + shingling three times per row; measured 13x on this query).
+    // Predicates cannot cross an object boundary.
+    val idField = sh.schema(idCol)
+    val exSchema = new org.apache.spark.sql.types.StructType()
+      .add(idField.name, idField.dataType)
+      .add("block", org.apache.spark.sql.types.StringType)
+      .add("n_sh", org.apache.spark.sql.types.IntegerType)
+      .add("shingle", org.apache.spark.sql.types.StringType)
+    val ex = sh.flatMap { r =>
+      val shingles = r.getSeq[String](2)
+      shingles.map(x =>
+        org.apache.spark.sql.Row(r.get(0), r.getString(1), shingles.size, x))
+    }(org.apache.spark.sql.Encoders.row(exSchema))
     val a = ex.select(col("block"), col("shingle"),
       col(idCol).as("id_a"), col("n_sh").as("n_a"))
     val b = ex.select(col("block"), col("shingle"),
