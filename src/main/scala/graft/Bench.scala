@@ -31,6 +31,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {
+      // isolate queries from each other's GC debt (binary-heavy decode
+      // queries otherwise tax whatever runs next)
+      System.gc()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -48,15 +51,20 @@ object Bench {
     // so synthesis cost never lands inside a measured query
     runOnce("q01_agg")
     graft.synth.ClipGen.stagedClips(spark, sfDir).head(1)
+    // warm the decode path + page cache for the staged binary table so
+    // the first measured decode query isn't a cold-IO outlier
+    graft.streaming.ClipPipeline
+      .decodeStage(graft.synth.ClipGen.stagedClips(spark, sfDir))
+      .write.format("noop").mode("overwrite").save()
 
     // two interleaved passes, per-query minimum: a single pass lets the
     // GC debt of a heavy query (decode) bleed into whichever query runs
-    // next in alphabetical order. Queries slower than 15s keep their
+    // next in alphabetical order. Queries slower than 60s keep their
     // first-pass number (bounds total bench wall time).
     val names = SparkEntry.queries.keys.toSeq.sorted
     val pass1 = names.map(n => n -> runOnce(n)).toMap
     val pass2 = names
-      .filter(n => pass1(n) >= 0 && pass1(n) < 15.0)
+      .filter(n => pass1(n) >= 0 && pass1(n) < 60.0)
       .map(n => n -> runOnce(n)).toMap
     val results = names.map { n =>
       val a = pass1(n)

@@ -30,7 +30,8 @@ object ClipQueries {
             col("pcm.zero_crossings").as("zero_crossings"),
             col("pcm.clipped").as("clipped"),
             col("transcript_norm"), col("n_tokens"), col("event_time"))
-          .orderBy(col("out_id"), col("clip_id"))
+        // rows-only check (no oracle) → no global sort needed; a range
+        // sort here would re-execute the decode for partition sampling
       },
       None),
 
