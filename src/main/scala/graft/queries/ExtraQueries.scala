@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Third-wave operator breadth: BPE-style tokenization, the full
+  * analytic-window family, fuzzy (edit-distance) matching.
+  */
+object ExtraQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** GPT-2-style piece regex (simplified to the character classes the
+    * corpus contains): contractions, letter runs, digit runs,
+    * punctuation runs, whitespace runs.
+    */
+  val BpePieceRegex = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9'\\s]+|\\s+"
+
+  val defs: Seq[QueryDef] = Seq(
+    // --------------------- q50 BPE-ish token counting (training pipeline)
+    QueryDef(
+      "q50_bpe_tokens",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(normalizeTranscript(col("text")), " ")).as("ws_tokens"),
+            regexp_count(col("text"), lit(BpePieceRegex)).as("bpe_pieces"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  len(string_split(${TextQueries.normSql("text")}, ' ')) AS ws_tokens,
+              |  CAST(len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9''\\s]+|\\s+')) AS INT) AS bpe_pieces
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------- q51 analytic window-function family (W1+)
+    QueryDef(
+      "q51_analytics",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .filter(col("o_custkey") % 20 === 0)
+          .select(
+            col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"))
+          .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |  lag(o_orderkey, 1) OVER w AS prev_key,
+             |  lead(o_orderkey, 1) OVER w AS next_key,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cume,
+             |  CAST(rank() OVER w AS INT) AS rnk,
+             |  CAST(dense_rank() OVER w AS INT) AS drnk
+             |FROM orders WHERE o_custkey % 20 = 0
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin)),
+
+    // ------------------ q52 fuzzy matching via edit distance (dedup aid)
+    // Distinct transcript tokens fuzzily matched (levenshtein ≤ 1)
+    // against the codeword vocabulary — the classic fuzzy-join shape
+    // with the small side broadcast.
+    QueryDef(
+      "q52_fuzzy_match",
+      (s, d) => {
+        val toks = graft.synth.ClipGen.clipsMeta(s, d)
+          .select(explode(split(normalizeTranscript(col("transcript")), " ")).as("tok"))
+          .distinct()
+        import s.implicits._
+        val vocab = graft.synth.ClipGen.Words.toDF("word")
+        toks.join(broadcast(vocab), levenshtein(col("tok"), col("word")) <= 1)
+          .select(col("tok"), col("word"),
+            levenshtein(col("tok"), col("word")).as("dist"))
+          .orderBy(col("tok"), col("word"))
+      },
+      Some {
+        val words = graft.synth.ClipGen.Words
+          .map(w => s"('$w')").mkString(", ")
+        s"""WITH clips AS (${graft.synth.ClipGen.metaSql}),
+           |toks AS (
+           |  SELECT DISTINCT unnest(string_split(${TextQueries.normSql("transcript")}, ' ')) AS tok
+           |  FROM clips),
+           |vocab(word) AS (VALUES $words)
+           |SELECT tok, word, CAST(levenshtein(tok, word) AS INT) AS dist
+           |FROM toks JOIN vocab ON levenshtein(tok, word) <= 1
+           |ORDER BY tok, word""".stripMargin
+      }))
+}
