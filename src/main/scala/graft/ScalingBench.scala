@@ -68,6 +68,7 @@ object ScalingBench {
       decodeWorkload(spark, sfDir, 1).write.format("noop")
         .mode("overwrite").save() // warmup: full plan + JIT at 1x scale
       (1 to reps).map { _ =>
+        System.gc() // isolate reps from each other's GC debt
         timeIt(decodeWorkload(spark, sfDir, workScale)
           .write.format("noop").mode("overwrite").save())
       }.min
@@ -113,6 +114,32 @@ object ScalingBench {
     } finally spark.stop()
   }
 
+  /** Pure-CPU scaling ceiling of THIS machine at THIS moment: an
+    * allocation-free, IO-free `range → sin → reduce` job at both
+    * parallelism levels. A virtualized shared host rarely scales 4×
+    * cores at 1.0 — and the ceiling drifts with neighbor load (0.80
+    * and 0.70 observed hours apart on this sandbox). The engine's
+    * efficiency is reported raw AND normalized against the ceiling
+    * measured back-to-back with it.
+    */
+  private def machineCeiling(lo: Int, hi: Int): Double = {
+    def run(cpus: Int): Double = {
+      val spark = session(cpus)
+      try {
+        import spark.implicits._
+        val n = 200000000L
+        spark.range(0, n / 10, 1, cpus * 4).map(i => math.sin(i.toDouble)).reduce(_ + _)
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.range(0, n, 1, cpus * 4).map(i => math.sin(i.toDouble)).reduce(_ + _)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      } finally spark.stop()
+    }
+    val (tLo, tHi) = (run(lo), run(hi))
+    (tLo / tHi) / (hi.toDouble / lo)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val lo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "7").toInt
@@ -126,6 +153,7 @@ object ScalingBench {
       try ClipGen.stagedClips(pre, sfDir).count()
       finally pre.stop()
 
+    val ceiling = machineCeiling(lo, hi)
     val tLo = runBatch(lo, sfDir, reps, workScale)
     val tHi = runBatch(hi, sfDir, reps, workScale)
     val latLo = runStreamLatencies(lo, sfDir)
@@ -138,7 +166,8 @@ object ScalingBench {
     val thLo = nClips.toDouble * workScale / tLo
     val thHi = nClips.toDouble * workScale / tHi
     val eff = (tLo / tHi) / (hi.toDouble / lo)
+    val norm = eff / ceiling
     println(
-      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","sf":"$sfDir","n_clips":$nClips,"work_scale":$workScale,"cpus_lo":$lo,"cpus_hi":$hi,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,"clips_per_sec_lo":$thLo%.1f,"clips_per_sec_hi":$thHi%.1f,"stream_p99_batch_ms_lo":${p99(latLo)}%.0f,"stream_p99_batch_ms_hi":${p99(latHi)}%.0f}""")
+      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","machine_cpu_ceiling":$ceiling%.3f,"normalized_efficiency":$norm%.3f,"sf":"$sfDir","n_clips":$nClips,"work_scale":$workScale,"cpus_lo":$lo,"cpus_hi":$hi,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,"clips_per_sec_lo":$thLo%.1f,"clips_per_sec_hi":$thHi%.1f,"stream_p99_batch_ms_lo":${p99(latLo)}%.0f,"stream_p99_batch_ms_hi":${p99(latHi)}%.0f}""")
   }
 }
