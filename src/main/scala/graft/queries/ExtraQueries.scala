@@ -66,6 +66,52 @@ object ExtraQueries {
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
              |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin)),
 
+    // ------------- q53 repeating-value parse (C8: OBX-5 '~' repeats)
+    // The reference splits repeating values on the HL7 repeat delimiter
+    // and types each component numeric-vs-string
+    // (Hl7LabMapper.java:239-267,525-544). Same semantics over a
+    // synthesized repeating column: split on '~', per-component typed
+    // struct, exploded 1:N with its index.
+    QueryDef(
+      "q53_repeating_values",
+      (s, d) => {
+        val raw = when(col("l_linenumber") % 3 === 0,
+          concat(col("l_quantity").cast("int"), lit("~negativ")))
+          .when(col("l_linenumber") % 3 === 1,
+            concat(col("l_quantity").cast("int"), lit("~"),
+              (col("l_quantity").cast("int") + 1), lit("~folgt")))
+          .otherwise(col("l_quantity").cast("int").cast("string"))
+        t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 10 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), raw.as("raw"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("raw"),
+            posexplode(split(col("raw"), "~")).as(Seq("rep_idx", "component")))
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("rep_idx"),
+            col("component"),
+            when(col("component").rlike("^-?[0-9]+(\\.[0-9]+)?$"),
+              col("component").cast("double")).as("num_value"),
+            when(!col("component").rlike("^-?[0-9]+(\\.[0-9]+)?$"),
+              col("component")).as("str_value"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("rep_idx"))
+      },
+      Some("""WITH src AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CASE l_linenumber % 3
+             |      WHEN 0 THEN CAST(trunc(l_quantity) AS INT) || '~negativ'
+             |      WHEN 1 THEN CAST(trunc(l_quantity) AS INT) || '~' || (CAST(trunc(l_quantity) AS INT) + 1) || '~folgt'
+             |      ELSE CAST(CAST(trunc(l_quantity) AS INT) AS VARCHAR) END AS raw
+             |  FROM lineitem WHERE l_orderkey % 10 = 0),
+             |ex AS (
+             |  SELECT l_orderkey, l_linenumber, raw,
+             |    CAST(u.i - 1 AS INT) AS rep_idx,
+             |    string_split(raw, '~')[CAST(u.i AS INT)] AS component
+             |  FROM src, LATERAL (SELECT unnest(range(1, len(string_split(raw, '~')) + 1)) AS i) u)
+             |SELECT l_orderkey, l_linenumber, rep_idx, component,
+             |  CASE WHEN regexp_matches(component, '^-?[0-9]+(\.[0-9]+)?$') THEN CAST(component AS DOUBLE) END AS num_value,
+             |  CASE WHEN NOT regexp_matches(component, '^-?[0-9]+(\.[0-9]+)?$') THEN component END AS str_value
+             |FROM ex ORDER BY l_orderkey, l_linenumber, rep_idx""".stripMargin)),
+
     // ------------------ q52 fuzzy matching via edit distance (dedup aid)
     // Distinct transcript tokens fuzzily matched (levenshtein ≤ 1)
     // against the codeword vocabulary — the classic fuzzy-join shape
