@@ -47,11 +47,26 @@ object PipelineMain {
     StructField("transcript", StringType),
     StructField("event_time", TimestampNTZType)))
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-      case Array(k) if k.startsWith("--")    => k.drop(2) -> "true"
-    }.toMap ++ args.lastOption.filter(_ == "--once").map(_ => "once" -> "true")
+  private val BooleanFlags = Set("once", "rocksdb")
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    @annotation.tailrec
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case Nil => acc
+        case flag :: tail if flag.startsWith("--") =>
+          val name = flag.drop(2)
+          if (BooleanFlags(name)) loop(tail, acc + (name -> "true"))
+          else tail match {
+            case v :: t2 if !v.startsWith("--") => loop(t2, acc + (name -> v))
+            case _ =>
+              throw new IllegalArgumentException(s"option --$name needs a value")
+          }
+        case other :: _ =>
+          throw new IllegalArgumentException(s"unexpected argument: $other")
+      }
+    loop(args.toList, Map.empty)
+  }
 
   def main(args: Array[String]): Unit = {
     val opt = parseArgs(args)

@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinHash32(child: Expression, k: Int)
     extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
@@ -93,7 +93,10 @@ object MinHash32 {
       }
       i += 1
     }
-    new GenericArrayData(mins.map(m => UTF8String.fromString(if (m == null) "" else m)))
+    // a seed with no shingles stays NULL — matching the columnar twin
+    // (array_min over an empty/all-null array) exactly
+    new GenericArrayData(mins.map(m =>
+      if (m == null) null else UTF8String.fromString(m)))
   }
 
   /** Register `minhash32(arr, k)` in the session function registry. */

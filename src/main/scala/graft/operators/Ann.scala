@@ -38,12 +38,17 @@ object Ann {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // norms are per-vector columns computed BEFORE the join — inlined
+    // in the cosine expression they would re-evaluate an O(dims)
+    // aggregate once per (query, corpus) pair
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", normD(col("q_vec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", normD(col("c_vec")))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        dotD(col("q_vec"), col("c_vec")) / (normD(col("q_vec")) * normD(col("c_vec"))))
+        dotD(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -83,11 +88,12 @@ object Ann {
 
     val members = corpus.select(
       col(clusterCol).as("cluster"), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", normD(col("c_vec")))
     val scored = members
-      .join(broadcast(routed), Seq("cluster"))
+      .join(broadcast(routed.withColumn("q_norm", normD(col("q_vec")))), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        dotD(col("q_vec"), col("c_vec")) / (normD(col("q_vec")) * normD(col("c_vec"))))
+        dotD(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)))

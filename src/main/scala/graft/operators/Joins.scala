@@ -29,45 +29,44 @@ object Joins {
     val rightCols = (rightTime +: rightOrd +: rightVals).distinct
     val leftCols = left.columns.toSeq
 
+    // the right row travels as ONE struct — filling columns
+    // independently with last(ignoreNulls) would resurrect stale
+    // values for columns that are legitimately null in the winning row
+    val rStruct = struct(rightCols.map(col): _*)
     val lTagged = left
       .withColumn("__t", col(leftTime).cast("timestamp"))
       .withColumn("__side", lit(1))
       .withColumn("__ord", lit(Long.MaxValue))
-    val lAligned = rightCols.foldLeft(lTagged) { (df, c) =>
-      df.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType))
-    }
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(rightCols.map(c => right.schema(c)))))
 
-    val rTagged = right
+    val rTagged0 = right
       .withColumn("__t", col(rightTime).cast("timestamp"))
       .withColumn("__side", lit(0))
       .withColumn("__ord", col(rightOrd).cast("long"))
-    val rAligned0 = rightCols.foldLeft(rTagged) { (df, c) =>
-      df.withColumn(s"__r_$c", col(c))
-    }
+      .withColumn("__r", rStruct)
     // null-out left-side columns on right rows
-    val rAligned = leftCols.filterNot(_ == key).foldLeft(rAligned0) { (df, c) =>
+    val rTagged = leftCols.filterNot(_ == key).foldLeft(rTagged0) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
 
-    val sel = (col(key) +: leftCols.filterNot(_ == key).map(col) :+
-      col("__t") :+ col("__side") :+ col("__ord")) ++
-      rightCols.map(c => col(s"__r_$c"))
-    val unioned = lAligned.select(sel: _*).unionByName(rAligned.select(sel: _*))
+    val sel = (col(key) +: leftCols.filterNot(_ == key).map(col)) :+
+      col("__t") :+ col("__side") :+ col("__ord") :+ col("__r")
+    val unioned = lTagged.select(sel: _*).unionByName(rTagged.select(sel: _*))
 
     // left rows sort after right rows at equal time (__side 1 > 0);
     // among right rows at equal time the larger __ord lands last.
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t").asc, col("__side").asc, col("__ord").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     val out = filled
       .filter(col("__side") === 1)
       .drop("__t", "__side", "__ord")
     rightCols.foldLeft(out) { (df, c) =>
-      df.withColumnRenamed(s"__r_$c", s"r_$c")
-    }
+      df.withColumn(s"r_$c", col("__r").getField(c))
+    }.drop("__r")
   }
 
   /** Backward as-of join on the dedicated Catalyst operator

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -88,8 +89,13 @@ case class AsofJoinExec(
     val boundRightKey = BindReferences.bindReference(rightKey, right.output)
     val boundRightTime = BindReferences.bindReference(rightTime, right.output)
 
+    val allOutput = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      new Iterator[InternalRow] {
+      // downstream operators expect UnsafeRow (executeCollect casts) —
+      // project the JoinedRow through an UnsafeProjection like the
+      // built-in join execs do
+      val toUnsafe = UnsafeProjection.create(allOutput.map(_.dataType).toArray)
+      val base = new Iterator[InternalRow] {
         private val joined = new JoinedRow
         private val nullRight = new GenericInternalRow(numRightCols)
         private var rHead: InternalRow = _ // next unconsumed right row
@@ -128,7 +134,12 @@ case class AsofJoinExec(
             } else if (kc == 0 &&
               timeOrdering.asInstanceOf[Ordering[Any]].compare(rHeadTime, lTime) <= 0) {
               matchRow = rHead.copy()
-              matchKey = rHeadKey
+              // the evaluated key may alias the row buffer that the
+              // sorter reuses (UTF8String over spill pages) — copy it
+              matchKey = rHeadKey match {
+                case s: UTF8String => s.clone()
+                case other         => other
+              }
               advanceRight()
               continue = rHead != null
             } else {
@@ -138,6 +149,7 @@ case class AsofJoinExec(
           if (matchRow != null) joined(l, matchRow) else joined(l, nullRight)
         }
       }
+      base.map(toUnsafe)
     }
   }
 

@@ -83,14 +83,9 @@ object StreamQueries {
           StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
           .withColumn("event_time", col("event_time").cast("timestamp"))
           .drop("sr_hz", "dur_ms", "codec")
-        val updates = StreamRunner
-          .parquetStream(s, s"$d/events.parquet", eventsSchema)
-          .filter(col("event_id") % 6 === 1)
-          .select(
-            when(col("event_id") % 10 < 2, concat(lit("hot-"), col("event_id") % 5))
-              .otherwise(concat(lit("c-"), col("event_id"))).as("clip_id"),
-            concat(lit("corrected "), col("event_id") % 100).as("u_transcript"),
-            (col("ts").cast("timestamp") + expr("INTERVAL 3 MINUTES")).as("u_event_time"))
+        val updates = ClipGen.updatesProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+          .withColumn("u_event_time", col("u_event_time").cast("timestamp"))
         val joined = ClipPipeline
           .transcriptUpdateJoin(clips, updates, "30 minutes", "10 MINUTES")
           .select(col("clip_id"), col("event_id"), col("event_time"),

@@ -40,7 +40,11 @@ class ExactlyOnceSink(outDir: String, orderCols: Seq[String]) extends Serializab
   def committedBatchIds: Seq[Long] = {
     val dir = Paths.get(outDir, "_commits")
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator.asScala.map(_.getFileName.toString.toLong).toSeq.sorted
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator.asScala.map(_.getFileName.toString.toLong).toSeq.sorted
+      finally stream.close()
+    }
   }
 
   def isCommitted(batchId: Long): Boolean = Files.exists(commitMarker(batchId))
@@ -92,7 +96,7 @@ class ExactlyOnceSink(outDir: String, orderCols: Seq[String]) extends Serializab
 
       // commit: atomic dir move, then atomic marker create
       val target = dataDir(batchId)
-      if (Files.exists(target)) deleteRecursively(target) // crashed pre-marker
+      if (Files.exists(target)) FsUtil.deleteRecursively(target) // crashed pre-marker
       Files.move(stagingDir(batchId), target, StandardCopyOption.ATOMIC_MOVE)
       Files.write(commitMarker(batchId), lineageJson.getBytes("UTF-8"),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -110,9 +114,16 @@ class ExactlyOnceSink(outDir: String, orderCols: Seq[String]) extends Serializab
       spark.read.parquet(ids.map(id => dataDir(id).toString): _*)
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator.asScala.foreach(deleteRecursively)
+}
+
+/** Shared filesystem helpers for the sink commit protocols. */
+object FsUtil {
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      try stream.iterator.asScala.toSeq.foreach(deleteRecursively)
+      finally stream.close()
+    }
     Files.deleteIfExists(p)
   }
 }

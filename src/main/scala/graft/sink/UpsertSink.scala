@@ -2,8 +2,6 @@ package graft.sink
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -57,7 +55,17 @@ class UpsertSink(outDir: String, keyCols: Seq[String], versionCol: String)
 
   /** foreachBatch entrypoint: MERGE `df` into the latest snapshot. */
   def write(df: DataFrame, batchId: Long): Unit = {
-    if (isCommitted(batchId)) return
+    if (isCommitted(batchId)) {
+      // crash window repair: marker exists but the pointer swing never
+      // happened — finish the commit instead of dropping the batch
+      if (latestCommitted.forall(_ < batchId)) {
+        val tmpPtr = Paths.get(outDir, s"_latest.tmp.$batchId")
+        Files.write(tmpPtr, s"$batchId".getBytes("UTF-8"))
+        Files.move(tmpPtr, latestPtr, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      return
+    }
     val spark = df.sparkSession
     Files.createDirectories(Paths.get(outDir, "_commits"))
     Files.createDirectories(Paths.get(outDir, "snapshots"))
@@ -87,7 +95,7 @@ class UpsertSink(outDir: String, keyCols: Seq[String], versionCol: String)
       .write.mode("overwrite").parquet(staged.toString)
 
     val target = snapshotDir(batchId)
-    if (Files.exists(target)) deleteRecursively(target)
+    if (Files.exists(target)) FsUtil.deleteRecursively(target)
     Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
     // commit: marker first, then swing the latest pointer (a reader
     // between the two still sees the previous consistent snapshot)
@@ -100,9 +108,4 @@ class UpsertSink(outDir: String, keyCols: Seq[String], versionCol: String)
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator.asScala.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
 }

@@ -200,14 +200,18 @@ object ClipPipeline {
         val acc0 = prev.getOrElse(
           SessionAcc(0, 0L, null, Long.MinValue, sorted.head.event_time.getTime))
         val acc = sorted.foldLeft(acc0) { (a, r) =>
+          val rMs = r.event_time.getTime
           SessionAcc(
             n = a.n + 1,
             totalDurMs = a.totalDurMs + r.dur_ms,
-            lastTranscript = r.transcript,
-            lastEventMs = math.max(a.lastEventMs, r.event_time.getTime),
+            // "latest transcript wins" is by EVENT time — a late
+            // out-of-order record must not overwrite a newer one
+            lastTranscript =
+              if (a.n == 0 || rMs >= a.lastEventMs) r.transcript
+              else a.lastTranscript,
+            lastEventMs = math.max(a.lastEventMs, rMs),
             firstEventMs = math.min(
-              if (a.n == 0) Long.MaxValue else a.firstEventMs,
-              r.event_time.getTime))
+              if (a.n == 0) Long.MaxValue else a.firstEventMs, rMs))
         }
         state.update(acc)
         // timeout must stay ahead of the current watermark

@@ -166,7 +166,15 @@ object ClipGen {
     */
   def transcriptUpdates(spark: SparkSession, sfDir: String): Dataset[TranscriptUpdate] = {
     import spark.implicits._
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    updatesProjection(spark.read.parquet(s"$sfDir/events.parquet"))
+      .as[TranscriptUpdate]
+  }
+
+  /** The transcript-update derivation over any events-shaped DataFrame
+    * (batch or stream) — single source of truth, mirrored by
+    * [[updatesSql]].
+    */
+  def updatesProjection(ev: DataFrame): DataFrame =
     ev.filter(col("event_id") % 6 === 1)
       .select(
         when(col("event_id") % 10 < 2, concat(lit("hot-"), col("event_id") % 5))
@@ -174,8 +182,6 @@ object ClipGen {
           .as("clip_id"),
         concat(lit("corrected "), col("event_id") % 100).as("u_transcript"),
         (col("ts") + expr("INTERVAL 3 MINUTES")).as("u_event_time"))
-      .as[TranscriptUpdate]
-  }
 
   /** DuckDB re-derivation of [[transcriptUpdates]]. */
   val updatesSql: String =

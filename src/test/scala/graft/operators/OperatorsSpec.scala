@@ -63,6 +63,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("AsofJoin"), plan.take(500))
   }
 
+  test("asofJoinBackward: a null value in the winning right row stays null (no stale backfill)") {
+    val left = Seq((1L, t("2024-01-20 00:00:00"), "e")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, t("2024-01-05 00:00:00"), 100L, Some(10.0)),
+      (1L, t("2024-01-12 00:00:00"), 101L, None)) // latest row: v is NULL
+      .toDF("k", "rts", "ord", "v")
+    val r = Joins.asofJoinBackward(left, right, "k", "ts", "rts", "ord", Seq("ord", "v"))
+      .select("r_ord", "r_v").head()
+    assert(r.getLong(0) == 101L)
+    assert(r.isNullAt(1), "null from the winning row must not be backfilled from older rows")
+  }
+
+  test("native asof join survives collect() without a projection on top") {
+    val left = Seq((1L, t("2024-01-20 00:00:00"))).toDF("k", "ts")
+    val right = Seq((1L, t("2024-01-10 00:00:00"), 7L)).toDF("rk", "rts", "ord")
+    val rows = Joins.asofJoinNative(left, right, "k", "rk", "ts", "rts", "ord").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(4) == 7L)
+  }
+
+  test("native minhash matches columnar twin on empty/degenerate arrays") {
+    val df = Seq(Seq.empty[String], Seq("x")).toDF("sh")
+    val both = df.select(
+      graft.functions.MinHash32.minhash32(col("sh"), 4).as("a"),
+      graft.functions.TextFunctions.minhashSignature(col("sh"), 4).as("b"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
   test("broadcastLookupJoin dedups lookup first-wins (MappingConfiguration.java:40-45)") {
     val facts = Seq("u", "v", "w").toDF("code2")
     val lookup = Seq(("u", "first", 1), ("u", "second", 2), ("v", "only", 7))

@@ -46,6 +46,24 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(sink.latestCommitted.contains(1L))
   }
 
+  test("crash between marker and pointer swing is repaired on replay") {
+    val dir = Files.createTempDirectory("upsert_crash_").toString
+    val sink = new UpsertSink(dir, Seq("k"), "v")
+    sink.write(df(("a", 1, "a1")), 0)
+    // simulate the crash window: batch 1 committed its marker+snapshot
+    // but the _latest pointer still names batch 0
+    sink.write(df(("a", 2, "a2")), 1)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_latest"),
+      "0".getBytes("UTF-8"))
+    assert(sink.latestCommitted.contains(0L))
+    // replay of batch 1 (at-least-once delivery) must finish the commit
+    sink.write(df(("a", 99, "stale")), 1)
+    assert(sink.latestCommitted.contains(1L))
+    val out = sink.readLatest(spark)
+      .select("k", "payload").as[(String, String)].collect().toSet
+    assert(out == Set(("a", "a2")))
+  }
+
   test("streaming foreachBatch end-to-end: stream of updates collapses to latest per key") {
     val base = Files.createTempDirectory("upsert_stream_").toString
     // 3 files → 3 micro-batches of key updates
