@@ -246,6 +246,30 @@ object MoreQueries {
               |FROM clips WHERE codec <> 'unknown'
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---------------- s08 streaming HLL distinct rollup (A3 approx path)
+    // approx_count_distinct (HyperLogLog++) per tumbling window — the
+    // sketch survives partial aggregation so distinct counting is one
+    // exchange of sketches, not rows. HLL estimates are
+    // engine-specific → rows-only check; exact distinct is oracled in
+    // q14/p04.
+    QueryDef(
+      "s08_stream_distinct",
+      (s, d) => {
+        val clips = ClipGen.metaProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+        val rolled = clips
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 day"), col("codec"))
+          .agg(count(lit(1)).as("n_clips"),
+            approx_count_distinct(col("clip_id")).as("approx_distinct_clips"))
+          .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+            col("codec"), col("n_clips"), col("approx_distinct_clips"))
+        StreamRunner.runToMemory(rolled, "complete")
+          .orderBy(col("window_start"), col("codec"))
+      },
+      None),
+
     // ---------------------------- s06 streaming sliding-window rollup (D4)
     QueryDef(
       "s06_stream_sliding",
