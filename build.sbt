@@ -24,6 +24,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ sys.env.get("SPARK_GC_OPTS").toSeq ++ Seq(
+  // the bench mains emit their JSON contract line via f-interpolators;
+  // a comma-decimal locale would produce invalid JSON
+  "-Duser.language=en", "-Duser.country=US",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",

@@ -38,14 +38,7 @@ import graft.streaming.{ClipMeta, ClipPipeline, GraftQueryListener, Metrics}
   */
 object PipelineMain {
 
-  private val clipSchema = StructType(Seq(
-    StructField("clip_id", StringType),
-    StructField("bytes", BinaryType),
-    StructField("sr_hz", IntegerType),
-    StructField("dur_ms", IntegerType),
-    StructField("codec", StringType),
-    StructField("transcript", StringType),
-    StructField("event_time", TimestampNTZType)))
+  private val clipSchema = graft.model.Schemas.clips
 
   private val BooleanFlags = Set("once", "rocksdb")
 

@@ -79,11 +79,7 @@ object ScalingBench {
   private def runStreamLatencies(cpus: Int, sfDir: String): Seq[Double] = {
     val spark = session(cpus)
     try {
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
+      val schema = graft.model.Schemas.events
       // events staged as 16 files, 1 per trigger: Kafka-partition-sized
       // micro-batches instead of one monolith
       val streamDir = java.nio.file.Paths

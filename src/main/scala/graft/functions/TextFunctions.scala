@@ -44,7 +44,11 @@ object TextFunctions {
     * sanitize/parse family (BaseMapper.java:298-321).
     */
   def normalizeTranscript(c: Column): Column =
-    regexp_replace(lower(regexp_replace(trim(c), "\\s+", " ")), "\\.$", "")
+    // explicit whitespace class + \z anchor: Java's \s includes \x0B
+    // and $ matches before a trailing newline, RE2's (DuckDB) do not —
+    // spell out semantics both dialects share
+    regexp_replace(
+      lower(regexp_replace(trim(c), "[ \\t\\n\\r\\f]+", " ")), "\\.\\z", "")
 
   /** Whitespace token count of a normalized string; empty → 0. */
   def tokenCount(norm: Column): Column =

@@ -65,7 +65,12 @@ final case class MappedClip(
   */
 final case class DedupDecision(
     clip_id: String,
-    occurrence: Int, // 1-based occurrence index per key, event-time order
+    // 1-based occurrence index per key: event-time order WITHIN each
+    // micro-batch, arrival order across batches (a decision already
+    // emitted for an earlier batch cannot be renumbered when a late
+    // row arrives — the out-of-order window is bounded by the
+    // watermark, beyond which late rows are dropped)
+    occurrence: Int,
     out_id: String, // clip_id for first occurrence, clip_id + "_" + i after
     is_dup: Boolean,
     event_time: java.sql.Timestamp, // LTZ: carried through watermarked streams

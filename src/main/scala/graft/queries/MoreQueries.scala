@@ -19,17 +19,17 @@ object MoreQueries {
     * `;`-separated, header, duplicate key, empty field,
     * /root/reference/src/main/resources/Mappingkatalog.csv shape).
     */
-  val CsvPath = "/root/repo/src/main/resources/codec_catalog.csv"
+  val CsvPath: String = {
+    val repoPath = "/root/repo/src/main/resources/codec_catalog.csv"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(repoPath))) repoPath
+    else // non-/root/repo checkouts: resolve from the classpath
+      Option(getClass.getResource("/codec_catalog.csv"))
+        .map(_.getPath).getOrElse(repoPath)
+  }
 
   import org.apache.spark.sql.types._
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private val eventsSchema = graft.model.Schemas.events
 
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------- q42 CSV scan + first-wins dedup (S4)
@@ -221,15 +221,7 @@ object MoreQueries {
       (s, d) => {
         import s.implicits._
         ClipGen.stagedClips(s, d).head(1) // ensure staged
-        val clipSchema = StructType(Seq(
-          StructField("clip_id", StringType),
-          StructField("bytes", BinaryType),
-          StructField("sr_hz", IntegerType),
-          StructField("dur_ms", IntegerType),
-          StructField("codec", StringType),
-          StructField("transcript", StringType),
-          StructField("event_time", TimestampNTZType)))
-        val stream = s.readStream.schema(clipSchema)
+        val stream = s.readStream.schema(graft.model.Schemas.clips)
           .parquet(ClipGen.clipsTablePath(d))
           .as[graft.model.Clip]
         val rolled = ClipPipeline.decodeStage(stream)

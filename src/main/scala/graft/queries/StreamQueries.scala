@@ -18,15 +18,7 @@ import graft.synth.ClipGen
   */
 object StreamQueries {
 
-  import org.apache.spark.sql.types._
-
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private val eventsSchema = graft.model.Schemas.events
 
   private def metaProjection(ev: DataFrame): DataFrame =
     ClipGen.metaProjection(ev)
@@ -119,7 +111,7 @@ object StreamQueries {
       Some("""WITH f AS (
              |  SELECT user_id, ts,
              |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
              |         THEN 1 ELSE 0 END AS new_s,
              |    event_id
              |  FROM events),

@@ -18,7 +18,7 @@ object TextQueries {
     * [[graft.functions.TextFunctions.normalizeTranscript]]).
     */
   def normSql(c: String): String =
-    s"regexp_replace(lower(regexp_replace(trim($c), '\\s+', ' ', 'g')), '\\.$$', '')"
+    s"regexp_replace(lower(regexp_replace(trim($c), '[ \\t\\n\\r\\f]+', ' ', 'g')), '\\.$$', '')"
 
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------ q21 explode + word count

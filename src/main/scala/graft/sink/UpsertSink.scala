@@ -70,9 +70,12 @@ class UpsertSink(outDir: String, keyCols: Seq[String], versionCol: String)
     Files.createDirectories(Paths.get(outDir, "_commits"))
     Files.createDirectories(Paths.get(outDir, "snapshots"))
 
-    // newest row per key within the incoming batch
+    // newest row per key within the incoming batch; ties on version
+    // are broken by a content hash so the winner is independent of
+    // shuffle order (deterministic replay contract)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc)
+      .orderBy(col(versionCol).desc,
+        xxhash64(df.columns.map(col): _*).desc)
     val incoming = df
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

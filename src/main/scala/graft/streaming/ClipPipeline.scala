@@ -65,7 +65,8 @@ object ClipPipeline {
     */
   def normalizeTranscriptJvm(s: String): String =
     if (s == null) ""
-    else s.trim.replaceAll("\\s+", " ").toLowerCase.replaceAll("\\.$", "")
+    else s.trim.replaceAll("[ \\t\\n\\r\\f]+", " ")
+      .toLowerCase.replaceAll("\\.\\z", "")
 
   /** Deterministic timestamp-prefixed surrogate id (C3 analogue,
     * /root/reference/src/main/java/de/unimarburg/diz/labtofhir/util/TimestampPrefixedId.java:23-59).
@@ -183,42 +184,55 @@ object ClipPipeline {
       key: String,
       rows: Iterator[ClipMeta],
       state: GroupState[SessionAcc]): Iterator[SessionMerge] = {
+
+    def close(acc: SessionAcc): SessionMerge = SessionMerge(
+      clip_id = key,
+      n_records = acc.n,
+      total_dur_ms = acc.totalDurMs,
+      last_transcript = acc.lastTranscript,
+      session_start = new java.sql.Timestamp(acc.firstEventMs),
+      session_end = new java.sql.Timestamp(acc.lastEventMs + gapMs))
+
     if (state.hasTimedOut) {
       val acc = state.get
       state.remove()
-      Iterator.single(SessionMerge(
-        clip_id = key,
-        n_records = acc.n,
-        total_dur_ms = acc.totalDurMs,
-        last_transcript = acc.lastTranscript,
-        session_start = new java.sql.Timestamp(acc.firstEventMs),
-        session_end = new java.sql.Timestamp(acc.lastEventMs + gapMs)))
+      Iterator.single(close(acc))
     } else {
       val sorted = rows.toIndexedSeq.sortBy(r => (r.event_time.getTime, r.event_id))
-      if (sorted.nonEmpty) {
-        val prev = state.getOption
-        val acc0 = prev.getOrElse(
-          SessionAcc(0, 0L, null, Long.MinValue, sorted.head.event_time.getTime))
-        val acc = sorted.foldLeft(acc0) { (a, r) =>
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        // fold with SPLITTING: a row farther than gap from the open
+        // session's last event CLOSES it (emitted now) and opens a new
+        // one — proper session-window semantics, not merge-until-quiet.
+        // (A late row within the open session's span still merges.)
+        var open = state.getOption.orNull
+        val closed = scala.collection.mutable.ArrayBuffer.empty[SessionMerge]
+        sorted.foreach { r =>
           val rMs = r.event_time.getTime
-          SessionAcc(
-            n = a.n + 1,
-            totalDurMs = a.totalDurMs + r.dur_ms,
-            // "latest transcript wins" is by EVENT time — a late
-            // out-of-order record must not overwrite a newer one
-            lastTranscript =
-              if (a.n == 0 || rMs >= a.lastEventMs) r.transcript
-              else a.lastTranscript,
-            lastEventMs = math.max(a.lastEventMs, rMs),
-            firstEventMs = math.min(
-              if (a.n == 0) Long.MaxValue else a.firstEventMs, rMs))
+          if (open == null) {
+            open = SessionAcc(1, r.dur_ms, r.transcript, rMs, rMs)
+          } else if (rMs > open.lastEventMs + gapMs) {
+            closed += close(open) // gap exceeded → session over
+            open = SessionAcc(1, r.dur_ms, r.transcript, rMs, rMs)
+          } else {
+            open = SessionAcc(
+              n = open.n + 1,
+              totalDurMs = open.totalDurMs + r.dur_ms,
+              // "latest transcript wins" is by EVENT time — a late
+              // out-of-order record must not overwrite a newer one
+              lastTranscript =
+                if (rMs >= open.lastEventMs) r.transcript
+                else open.lastTranscript,
+              lastEventMs = math.max(open.lastEventMs, rMs),
+              firstEventMs = math.min(open.firstEventMs, rMs))
+          }
         }
-        state.update(acc)
+        state.update(open)
         // timeout must stay ahead of the current watermark
         state.setTimeoutTimestamp(
-          math.max(acc.lastEventMs + gapMs, state.getCurrentWatermarkMs() + 1))
+          math.max(open.lastEventMs + gapMs, state.getCurrentWatermarkMs() + 1))
+        closed.iterator
       }
-      Iterator.empty
     }
   }
 

@@ -38,13 +38,24 @@ object StreamRunner {
         sys.props("java.io.tmpdir"), "graft_stream_src",
         p.getParent.getFileName.toString, p.getFileName.toString + ".d")
       val target = dir.resolve(p.getFileName)
-      if (!java.nio.file.Files.exists(target)) {
+      // staleness guard: the cached copy must match the source's
+      // size+mtime, or a regenerated dataset would silently stream
+      // old rows
+      val fp = s"${p.toAbsolutePath}|${java.nio.file.Files.size(p)}|${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      val marker = dir.resolve("_fingerprint")
+      val fresh = java.nio.file.Files.exists(target) &&
+        java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
+      if (!fresh) {
         java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.deleteIfExists(marker)
         val tmp = dir.resolve(p.getFileName.toString + ".tmp")
         java.nio.file.Files.copy(p, tmp,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         java.nio.file.Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
       }
       dir.toString
     }

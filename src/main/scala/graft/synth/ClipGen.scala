@@ -144,18 +144,30 @@ object ClipGen {
     * decode-pipeline queries and benches read binary payloads from
     * here, so decode throughput measures decode, not synthesis.
     */
+  /** Fingerprint of the source table a staged copy was derived from —
+    * a stale cache (source regenerated, or a different dataset sharing
+    * the basename) must re-stage, not silently serve old rows.
+    */
+  def sourceFingerprint(sfDir: String): String = {
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    s"${sfDir}|${java.nio.file.Files.size(src)}|${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+  }
+
   def stagedClips(spark: SparkSession, sfDir: String): Dataset[Clip] = {
     import spark.implicits._
     val dir = clipsTablePath(sfDir)
     val marker = java.nio.file.Paths.get(dir + ".ok")
-    if (!java.nio.file.Files.exists(marker)) {
+    val fp = sourceFingerprint(sfDir)
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
       clips(spark, sfDir)
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite")
         .option("parquet.block.size", (16 * 1024 * 1024).toString)
         .parquet(dir)
-      try java.nio.file.Files.createFile(marker)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
     }
     spark.read.parquet(dir).as[Clip]
   }

@@ -246,6 +246,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session merge SPLITS on gap: two bursts of one key become two sessions") {
+    val input = MemoryStream[ClipMeta](9, spark, None)
+    val merged = ClipPipeline.sessionMergeStage(
+      input.toDS().withWatermark("event_time", "0 seconds"),
+      gapMs = 5 * 60 * 1000)
+    val q = merged.toDF()
+      .writeStream.format("memory").queryName("sess_split")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // burst 1 at 10:00-10:02, burst 2 at 10:20-10:21 — 18 min apart,
+      // far beyond the 5-min gap → must be two separate sessions
+      input.addData(meta("m", 0, 1), meta("m", 2, 2), meta("m", 20, 3), meta("m", 21, 4))
+      q.processAllAvailable()
+      input.addData(meta("z", 50, 5)) // advance watermark → close open session
+      q.processAllAvailable()
+      input.addData(meta("z2", 55, 6))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_split")
+        .filter(col("clip_id") === "m")
+        .select("n_records", "total_dur_ms").as[(Int, Long)].collect().toSet
+      assert(sessions == Set((2, 200L), (2, 200L)).map(identity) || sessions.size == 2,
+        s"expected two 2-record sessions, got $sessions")
+      assert(spark.table("sess_split").filter(col("clip_id") === "m").count() == 2)
+    } finally q.stop()
+  }
+
   test("frame expansion emits exactly ceil(n_samples/frame) rows per clip (1:N, M8/M9)") {
     import graft.model.Clip
     import graft.audio.Codecs
