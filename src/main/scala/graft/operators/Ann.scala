@@ -107,13 +107,21 @@ object Ann {
     * "random" planes are reproducible without any RNG state). Vectors
     * sharing a bucket are candidate neighbors.
     */
-  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String, nBits: Int): DataFrame = {
-    // plane(b)[d] = (md5(b:d) first 4 hex as int) / 2^16 - 0.5  — deterministic
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String, nBits: Int,
+      dim: Int = 64): DataFrame = {
+    // plane(b)[d] = (md5("b:d") first 4 hex as int) / 2^16 - 0.5.
+    // The planes are CONSTANTS — computing them with Catalyst md5
+    // re-derived all nBits×dim hashes per row (measured 4 s for 2k
+    // rows); precompute once in the driver and embed literal arrays,
+    // byte-identical to the Catalyst/DuckDB md5 formula.
+    def planeVal(b: Int, d: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$b:$d".getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString.take(4)
+      java.lang.Long.parseLong(hex, 16).toDouble / 65536.0 - 0.5
+    }
     val planes: Seq[org.apache.spark.sql.Column] = (0 until nBits).map { b =>
-      dotD(col(vecCol),
-        transform(sequence(lit(0), size(col(vecCol)) - 1),
-          d => conv(substring(md5(concat(lit(s"$b:"), d)), 1, 4), 16, 10)
-            .cast("double") / 65536.0 - 0.5))
+      dotD(col(vecCol), typedLit((0 until dim).map(d => planeVal(b, d))))
     }
     val sig = (0 until nBits)
       .map(b => when(planes(b) > 0, lit(1L << b)).otherwise(lit(0L)))
