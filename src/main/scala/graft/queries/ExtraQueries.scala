@@ -66,6 +66,30 @@ object ExtraQueries {
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
              |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin)),
 
+    // ----------------- q54 GROUPING SETS via the SQL entry point (A3)
+    // Arbitrary grouping sets are SQL-only surface in Spark — this also
+    // exercises the spark.sql()/temp-view API path of the engine.
+    QueryDef(
+      "q54_grouping_sets",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem")
+        s.sql("""
+          SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                 coalesce(l_linestatus, 'ALL') AS linestatus,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM graft_lineitem
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+          ORDER BY returnflag, linestatus""")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             |  coalesce(l_linestatus, 'ALL') AS linestatus,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+             |ORDER BY returnflag, linestatus""".stripMargin)),
+
     // ------------- q53 repeating-value parse (C8: OBX-5 '~' repeats)
     // The reference splits repeating values on the HL7 repeat delimiter
     // and types each component numeric-vs-string
