@@ -354,6 +354,32 @@ object ClipPipeline {
       .drop("__cb", "__ub")
   }
 
+  /** LEFT OUTER variant of [[transcriptUpdateJoin]]: clips with no
+    * update inside the interval are emitted with null update columns
+    * once the watermark passes their join window (state eviction time).
+    * Same bucketed equality key as the inner join.
+    */
+  def transcriptUpdateLeftJoin(clips: DataFrame, updates: DataFrame,
+      watermark: String, joinWindow: String): DataFrame = {
+    val windowUs = parseDurationUs(joinWindow)
+    val c = clips
+      .withColumn("__cb", floor(unix_micros(col("event_time")) / windowUs))
+      .withWatermark("event_time", watermark)
+    val u = updates
+      .withColumnRenamed("clip_id", "u_clip_id")
+      .withColumn("__ub", explode(array(
+        floor(unix_micros(col("u_event_time")) / windowUs),
+        floor(unix_micros(col("u_event_time")) / windowUs) - 1)))
+      .withWatermark("u_event_time", watermark)
+    c.join(
+        u,
+        expr(s"""clip_id = u_clip_id AND __cb = __ub AND
+                 u_event_time >= event_time AND
+                 u_event_time <= event_time + INTERVAL $joinWindow"""),
+        "leftOuter")
+      .drop("__cb", "__ub")
+  }
+
   /** Parse "<n> SECONDS|MINUTES|HOURS|DAYS" to microseconds. */
   def parseDurationUs(d: String): Long = {
     val parts = d.trim.split("\\s+")

@@ -220,6 +220,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("LEFT OUTER stream-stream join emits unmatched clips with nulls after watermark (J3)") {
+    val clips = MemoryStream[ClipMeta](10, spark, None)
+    val updates = MemoryStream[(String, String, Timestamp)](11, spark, None)
+    val joined = ClipPipeline.transcriptUpdateLeftJoin(
+      clips.toDF(),
+      updates.toDF().toDF("clip_id", "u_transcript", "u_event_time"),
+      "5 minutes", "10 MINUTES")
+      .select("clip_id", "u_transcript")
+    val q = joined.writeStream.format("memory").queryName("ljoin_t1")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clips.addData(meta("x", 0, 1), meta("y", 0, 2)) // y will never match
+      updates.addData(("x", "matched", ts(5)))
+      q.processAllAvailable()
+      // push both watermarks far past y's join window
+      clips.addData(meta("adv", 50, 3))
+      updates.addData(("adv2", "noise", ts(50)))
+      q.processAllAvailable()
+      clips.addData(meta("adv3", 55, 4))
+      updates.addData(("adv4", "noise2", ts(55)))
+      q.processAllAvailable()
+      val rows = spark.table("ljoin_t1")
+        .select("clip_id", "u_transcript").as[(String, Option[String])]
+        .collect().toMap
+      assert(rows("x") == Some("matched"))
+      assert(rows.contains("y") && rows("y").isEmpty,
+        s"unmatched clip must emit with null update: $rows")
+    } finally q.stop()
+  }
+
   test("session merge emits ONE merged record per key at watermark timeout (D1 merge)") {
     val input = MemoryStream[ClipMeta](8, spark, None)
     val merged = ClipPipeline.sessionMergeStage(
