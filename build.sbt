@@ -29,5 +29,5 @@ javaOptions ++= jdk17AddOpens ++ sys.env.get("SPARK_GC_OPTS").toSeq ++ Seq(
   "-Duser.language=en", "-Duser.country=US",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

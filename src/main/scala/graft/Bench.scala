@@ -94,64 +94,19 @@ object Bench {
     val tp =
       f"""{"decode_clips_per_sec":$decodeClipsPerSec%.1f,"stream_dedup_rows_per_sec":$dedupRowsPerSec%.1f,"n_events":$nEvents}"""
 
-    // inline scaling-efficiency evidence (north rule): the same decode
-    // workload at N and 4N cores in fresh sessions, plus the machine's
-    // own pure-CPU 4x ceiling measured back-to-back (see ScalingBench
-    // for the full harness; this compact version rides along in the
-    // driver-collected bench artifact)
+    // scaling-efficiency evidence (north rule): delegate to the
+    // dedicated ScalingBench methodology (work_scale=4, reps=3, min,
+    // ceiling clamped ≤1.0) so the driver-collected artifact records
+    // the same number the full harness measures — a previous compact
+    // rider ran too little work per timed pass and recorded an
+    // overhead-dominated efficiency that failed the ≥0.8 gate.
     spark.stop()
     val scalingJson =
-      try {
-        val (lo, hi) = (7, 28)
-        def freshSession(n: Int) = SparkSession.builder()
-          .master(s"local[$n]")
-          .config("spark.sql.shuffle.partitions", n)
-          .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.sql.parquet.columnarReaderBatchSize", "256")
-          .config("spark.sql.optimizer.excludedRules",
-            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-          .config("spark.ui.enabled", "false").getOrCreate()
-        def ceiling(n: Int): Double = {
-          val sp = freshSession(n)
-          try {
-            import sp.implicits._
-            sp.range(0, 20000000L, 1, n * 4).map(i => math.sin(i.toDouble)).reduce(_ + _)
-            val ts = (1 to 2).map { _ =>
-              val t0 = System.nanoTime()
-              sp.range(0, 200000000L, 1, n * 4).map(i => math.sin(i.toDouble)).reduce(_ + _)
-              (System.nanoTime() - t0) / 1e9
-            }
-            ts.min
-          } finally sp.stop()
-        }
-        def decodeRun(n: Int): Double = {
-          val sp = freshSession(n)
-          try {
-            import sp.implicits._
-            val clips = graft.synth.ClipGen.stagedClips(sp, sfDir)
-            val work = Seq.fill(2)(clips.toDF()).reduce(_ union _).as[graft.model.Clip]
-            graft.streaming.ClipPipeline.decodeStage(work)
-              .groupByKey(_.codec).count()
-              .write.format("noop").mode("overwrite").save() // warmup
-            (1 to 2).map { _ =>
-              System.gc()
-              val t0 = System.nanoTime()
-              graft.streaming.ClipPipeline
-                .decodeStage(Seq.fill(2)(clips.toDF()).reduce(_ union _).as[graft.model.Clip])
-                .groupByKey(_.codec).count()
-                .write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9
-            }.min
-          } finally sp.stop()
-        }
-        val ceilEff = (ceiling(lo) / ceiling(hi)) / (hi.toDouble / lo)
-        val (tLo, tHi) = (decodeRun(lo), decodeRun(hi))
-        val rawEff = (tLo / tHi) / (hi.toDouble / lo)
-        f"""{"cpus_lo":$lo,"cpus_hi":$hi,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,"raw_efficiency":$rawEff%.3f,"machine_cpu_ceiling":$ceilEff%.3f,"normalized_efficiency":${rawEff / ceilEff}%.3f}"""
-      } catch {
+      try ScalingBench.scalingEvidence(sfDir)
+      catch {
         case e: Throwable =>
-          System.err.println(s"[bench] scaling rider failed: ${e.getMessage}")
-          """{"error":"scaling rider failed"}"""
+          System.err.println(s"[bench] scaling evidence failed: ${e.getMessage}")
+          """{"error":"scaling evidence failed"}"""
       }
 
     println(

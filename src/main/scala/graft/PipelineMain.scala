@@ -35,6 +35,18 @@ import graft.streaming.{ClipMeta, ClipPipeline, GraftQueryListener, Metrics}
   *   --once              Trigger.AvailableNow (drain + exit); default
   *   --interval <dur>    Trigger.ProcessingTime instead of --once
   *   --rocksdb           use the RocksDB state store provider
+  *   --pipelines <csv>   enable only the named pipelines out of
+  *                       mapped,dedup,rollup,join (default: the first
+  *                       three, plus join when --updates is given);
+  *                       an empty or invalid selection REFUSES to boot
+  *                       (exit 2) — the reference's zero-mapper guard
+  *                       (LabToFhirProcessor.java:26-29)
+  *   --strict-max-failures <n>  poison-pill mode for the decode map:
+  *                       more than n malformed records in a task fails
+  *                       the query instead of quarantining (the
+  *                       reference's serde-error shutdown,
+  *                       KafkaConfiguration.java:31-42); omit for the
+  *                       default quarantine behavior
   */
 object PipelineMain {
 
@@ -42,7 +54,31 @@ object PipelineMain {
 
   private val BooleanFlags = Set("once", "rocksdb")
 
-  private def parseArgs(args: Array[String]): Map[String, String] = {
+  private[graft] val AllPipelines = Seq("mapped", "dedup", "rollup", "join")
+
+  /** Enabled-pipeline selection with the reference's boot guards:
+    * unknown names and an empty selection are refused outright.
+    */
+  private[graft] def selectPipelines(opt: Map[String, String]): Seq[String] = {
+    val requested = opt.get("pipelines") match {
+      case Some(csv) => csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq.distinct
+      case None =>
+        Seq("mapped", "dedup", "rollup") ++
+          (if (opt.contains("updates")) Seq("join") else Nil)
+    }
+    val unknown = requested.filterNot(AllPipelines.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown pipeline(s): ${unknown.mkString(",")} (valid: ${AllPipelines.mkString(",")})")
+    if (requested.contains("join") && !opt.contains("updates"))
+      throw new IllegalArgumentException("pipeline 'join' requires --updates <dir>")
+    if (requested.isEmpty)
+      throw new IllegalArgumentException(
+        "no pipelines enabled — refusing to start")
+    requested
+  }
+
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     @annotation.tailrec
     def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
       rest match {
@@ -62,7 +98,15 @@ object PipelineMain {
   }
 
   def main(args: Array[String]): Unit = {
-    val opt = parseArgs(args)
+    val (opt, enabled) =
+      try {
+        val o = parseArgs(args)
+        (o, selectPipelines(o))
+      } catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"[pipeline] ${e.getMessage}")
+          sys.exit(2)
+      }
     val builder = SparkSession.builder()
       .appName("graft-pipeline")
       .config("spark.sql.session.timeZone", "UTC")
@@ -102,54 +146,65 @@ object PipelineMain {
       spark.readStream.schema(clipSchema).parquet(input)
 
     // ---- query 1: decode map → mapped-record sink (the reference's
-    //      core topology, M1/M4 + F1/F4)
-    val mappedSink = new ExactlyOnceSink(s"$output/mapped", Seq("out_id"))
-    val mapped = ClipPipeline
-      .decodeStage(clipStream().as[graft.model.Clip])
-      .toDF()
-      .withColumn("event_time", col("event_time").cast("timestamp"))
-    val q1 = Metrics.observed(mapped, "mapped_out")
-      .writeStream
-      .queryName("graft_mapped")
-      .foreachBatch((df: DataFrame, id: Long) => mappedSink.write(df, id))
-      .option("checkpointLocation", s"$ckpt/mapped")
-      .trigger(trigger)
-      .start()
+    //      core topology, M1/M4 + F1/F4; --strict-max-failures swaps in
+    //      the poison-pill decode)
+    val q1 = if (!enabled.contains("mapped")) None else Some {
+      val mappedSink = new ExactlyOnceSink(s"$output/mapped", Seq("out_id"))
+      val typedClips = clipStream().as[graft.model.Clip]
+      val decoded = opt.get("strict-max-failures") match {
+        case Some(n) => ClipPipeline.decodeStageStrict(typedClips, n.toLong)
+        case None    => ClipPipeline.decodeStage(typedClips)
+      }
+      val mapped = decoded.toDF()
+        .withColumn("event_time", col("event_time").cast("timestamp"))
+      Metrics.observed(mapped, "mapped_out")
+        .writeStream
+        .queryName("graft_mapped")
+        .foreachBatch((df: DataFrame, id: Long) => mappedSink.write(df, id))
+        .option("checkpointLocation", s"$ckpt/mapped")
+        .trigger(trigger)
+        .start()
+    }
 
     // ---- query 2: keyed stateful dedup decisions (D1)
-    val dedupSink = new ExactlyOnceSink(s"$output/dedup", Seq("clip_id", "occurrence"))
-    val meta = clipStream()
-      .select(col("clip_id"), col("sr_hz"), col("dur_ms"), col("codec"),
-        col("transcript"), col("event_time").cast("timestamp").as("event_time"),
-        xxhash64(col("clip_id"), col("event_time")).as("event_id"))
-      .withWatermark("event_time", watermark)
-      .as[ClipMeta]
-    val q2 = ClipPipeline.dedupStage(meta, stateTtl).toDF()
-      .writeStream
-      .queryName("graft_dedup")
-      .foreachBatch((df: DataFrame, id: Long) => dedupSink.write(df, id))
-      .option("checkpointLocation", s"$ckpt/dedup")
-      .trigger(trigger)
-      .start()
+    val q2 = if (!enabled.contains("dedup")) None else Some {
+      val dedupSink = new ExactlyOnceSink(s"$output/dedup", Seq("clip_id", "occurrence"))
+      val meta = clipStream()
+        .select(col("clip_id"), col("sr_hz"), col("dur_ms"), col("codec"),
+          col("transcript"), col("event_time").cast("timestamp").as("event_time"),
+          xxhash64(col("clip_id"), col("event_time")).as("event_id"))
+        .withWatermark("event_time", watermark)
+        .as[ClipMeta]
+      ClipPipeline.dedupStage(meta, stateTtl).toDF()
+        .writeStream
+        .queryName("graft_dedup")
+        .foreachBatch((df: DataFrame, id: Long) => dedupSink.write(df, id))
+        .option("checkpointLocation", s"$ckpt/dedup")
+        .trigger(trigger)
+        .start()
+    }
 
     // ---- query 3: watermarked tumbling rollup (A3/D4), append mode —
     //      only finalized windows are committed
-    val rollupSink = new ExactlyOnceSink(s"$output/rollups", Seq("window_start", "codec"))
-    val rollup = ClipPipeline.tumblingRollup(
-      clipStream()
-        .withColumn("event_time", col("event_time").cast("timestamp"))
-        .withWatermark("event_time", watermark),
-      windowDur)
-    val q3 = rollup.writeStream
-      .queryName("graft_rollup")
-      .outputMode("append")
-      .foreachBatch((df: DataFrame, id: Long) => rollupSink.write(df, id))
-      .option("checkpointLocation", s"$ckpt/rollup")
-      .trigger(trigger)
-      .start()
+    val q3 = if (!enabled.contains("rollup")) None else Some {
+      val rollupSink = new ExactlyOnceSink(s"$output/rollups", Seq("window_start", "codec"))
+      val rollup = ClipPipeline.tumblingRollup(
+        clipStream()
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .withWatermark("event_time", watermark),
+        windowDur)
+      rollup.writeStream
+        .queryName("graft_rollup")
+        .outputMode("append")
+        .foreachBatch((df: DataFrame, id: Long) => rollupSink.write(df, id))
+        .option("checkpointLocation", s"$ckpt/rollup")
+        .trigger(trigger)
+        .start()
+    }
 
-    // ---- query 4 (optional): transcript-update interval join (J3)
-    val q4 = opt.get("updates").map { updDir =>
+    // ---- query 4: transcript-update interval join (J3; needs --updates)
+    val q4 = if (!enabled.contains("join")) None else Some {
+      val updDir = opt("updates")
       val joinSink = new ExactlyOnceSink(s"$output/joined", Seq("clip_id", "u_event_time"))
       val updates = spark.readStream
         .schema(StructType(Seq(
@@ -170,7 +225,7 @@ object PipelineMain {
         .start()
     }
 
-    (Seq(q1, q2, q3) ++ q4.toSeq).foreach(_.awaitTermination())
+    (q1.toSeq ++ q2.toSeq ++ q3.toSeq ++ q4.toSeq).foreach(_.awaitTermination())
 
     // metrics summary (D8) — rows processed per query + late drops
     val summary = Seq("graft_mapped", "graft_dedup", "graft_rollup", "graft_join")

@@ -99,12 +99,27 @@ object MinHash32 {
       if (m == null) null else UTF8String.fromString(m)))
   }
 
-  /** Register `minhash32(arr, k)` in the session function registry. */
+  /** Register `minhash32(arr, k)` in the session function registry.
+    * k must be a foldable integral literal — `lit(8L)` or a SQL
+    * `CAST(... AS BIGINT)` are accepted (not just INT literals), and a
+    * non-literal k is rejected with a clear analysis error instead of
+    * an undefined eval-against-no-row.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash32",
-      exprs => MinHash32(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]),
+      exprs => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val k = exprs(1) match {
+          case Literal(v: Number, ByteType | ShortType | IntegerType | LongType) =>
+            v.intValue()
+          case other =>
+            throw new IllegalArgumentException(
+              s"minhash32(arr, k): k must be an integral literal, got $other")
+        }
+        MinHash32(exprs.head, k)
+      },
       "built-in")
 
   /** Column wrapper (requires [[register]] on the active session). */

@@ -102,6 +102,26 @@ object Ann {
         round(col("cosine"), 6).as("cosine"), col("cluster"))
   }
 
+  /** plane(b)[d] = (md5("b:d") first 4 hex as int) / 2^16 - 0.5.
+    * The planes are CONSTANTS — computing them with Catalyst md5
+    * re-derived all nBits×dim hashes per row (measured 4 s for 2k
+    * rows); precompute once in the driver and embed literal arrays,
+    * byte-identical to the Catalyst/DuckDB md5 formula.
+    */
+  private def planeVal(b: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$b:$d".getBytes("UTF-8"))
+      .map(x => f"${x & 0xff}%02x").mkString.take(4)
+    java.lang.Long.parseLong(hex, 16).toDouble / 65536.0 - 0.5
+  }
+
+  /** Signed projections of `vecCol` onto the first `nBits` planes. */
+  private def planeDots(vecCol: String, nBits: Int, dim: Int)
+      : Seq[org.apache.spark.sql.Column] =
+    (0 until nBits).map { b =>
+      dotD(col(vecCol), typedLit((0 until dim).map(d => planeVal(b, d))))
+    }
+
   /** Random-hyperplane LSH bucketing: `nBits` signed projections onto
     * deterministic pseudo-random hyperplanes (md5-seeded, so the
     * "random" planes are reproducible without any RNG state). Vectors
@@ -109,23 +129,60 @@ object Ann {
     */
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String, nBits: Int,
       dim: Int = 64): DataFrame = {
-    // plane(b)[d] = (md5("b:d") first 4 hex as int) / 2^16 - 0.5.
-    // The planes are CONSTANTS — computing them with Catalyst md5
-    // re-derived all nBits×dim hashes per row (measured 4 s for 2k
-    // rows); precompute once in the driver and embed literal arrays,
-    // byte-identical to the Catalyst/DuckDB md5 formula.
-    def planeVal(b: Int, d: Int): Double = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"$b:$d".getBytes("UTF-8"))
-        .map(x => f"${x & 0xff}%02x").mkString.take(4)
-      java.lang.Long.parseLong(hex, 16).toDouble / 65536.0 - 0.5
-    }
-    val planes: Seq[org.apache.spark.sql.Column] = (0 until nBits).map { b =>
-      dotD(col(vecCol), typedLit((0 until dim).map(d => planeVal(b, d))))
-    }
+    val planes = planeDots(vecCol, nBits, dim)
     val sig = (0 until nBits)
       .map(b => when(planes(b) > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     emb.select(col(idCol), sig.as("bucket"))
+  }
+
+  /** Banded hyperplane-LSH keys: `nBits` planes split into `bands`
+    * bands of nBits/bands bits; vectors agreeing on ALL bits of ANY
+    * single band are candidate neighbors. Requiring one narrow band
+    * instead of the full signature is what gives usable recall — the
+    * full-width bucket needs all nBits signs equal, which for 16 bits
+    * has near-zero recall even for genuinely similar pairs (≈0.95^16
+    * only for near-identical vectors).
+    */
+  def lshBandKeys(emb: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, bands: Int, dim: Int = 64): DataFrame = {
+    require(nBits % bands == 0, s"nBits=$nBits must divide into bands=$bands")
+    val bitsPerBand = nBits / bands
+    val planes = planeDots(vecCol, nBits, dim)
+    val bandKeys = (0 until bands).map { j =>
+      val v = (j * bitsPerBand until (j + 1) * bitsPerBand)
+        .map(b => when(planes(b) > 0, lit(1L << (b % bitsPerBand))).otherwise(lit(0L)))
+        .reduce(_ + _)
+      struct(lit(j).as("band"), v.as("band_val"))
+    }
+    emb.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.band_val").as("band_val"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, banded-LSH blocked: pairs
+    * sharing ≥1 band key get an exact cosine; `threshold` keeps the
+    * near-duplicates. Scale shape: the band join carries only (band,
+    * 8-byte key, id) — vectors are fetched AFTER the candidate-pair
+    * `distinct()`, so a pair sharing several bands is scored once and
+    * no vector is ever duplicated per band. No all-pairs product
+    * anywhere; candidate volume is tuned by bands × bitsPerBand.
+    */
+  def embedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 16, bands: Int = 4, threshold: Double = 0.2,
+      dim: Int = 64): DataFrame = {
+    val keys = lshBandKeys(emb, idCol, vecCol, nBits, bands, dim)
+    val a = keys.select(col("band"), col("band_val"), col(idCol).as("id_a"))
+    val b = keys.select(col("band"), col("band_val"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", normD(col("va")))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", normD(col("vb")))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", dotD(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 }

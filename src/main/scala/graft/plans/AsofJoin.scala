@@ -38,6 +38,17 @@ case class AsofJoin(
     rightOrd: Expression)
     extends BinaryNode {
 
+  // analysis-time type guards: the exec compares evaluated keys/times
+  // with ONE interpreted ordering built from the LEFT type — an int-vs-
+  // long mismatch would otherwise surface as a runtime
+  // ClassCastException deep inside the merge (expressions here are
+  // resolved attributes of already-analyzed children, so dataType is
+  // safe to read at construction)
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of join key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -104,11 +115,19 @@ case class AsofJoinExec(
         private var matchRow: InternalRow = _ // latest right ≤ current left time
         private var matchKey: Any = _
 
+        private def toNullJoined(l: InternalRow): InternalRow =
+          joined(l, nullRight)
+
+        // null right keys can never equi-match (SQL join semantics) —
+        // skip them here so the merge below never feeds null into the
+        // interpreted ordering (which would NPE)
+        @annotation.tailrec
         private def advanceRight(): Unit =
           if (rIter.hasNext) {
             rHead = rIter.next()
             rHeadKey = boundRightKey.eval(rHead)
             rHeadTime = boundRightTime.eval(rHead)
+            if (rHeadKey == null || rHeadTime == null) advanceRight()
           } else rHead = null
 
         advanceRight()
@@ -119,6 +138,10 @@ case class AsofJoinExec(
           val l = lIter.next()
           val lKey = boundLeftKey.eval(l)
           val lTime = boundLeftTime.eval(l)
+          // null-key/time left rows are unmatched by definition — emit
+          // with null right columns, consume nothing
+          if (lKey == null || lTime == null)
+            return toNullJoined(l)
           // drop the buffered match if the key moved on
           if (matchRow != null &&
             keyOrdering.asInstanceOf[Ordering[Any]].compare(matchKey, lKey) != 0)

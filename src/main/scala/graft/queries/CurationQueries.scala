@@ -21,34 +21,18 @@ object CurationQueries {
     s"sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($a[CAST(i AS INT)] AS DOUBLE))))"
 
   val defs: Seq[QueryDef] = Seq(
-    // ------------------- q47 embedding-cosine near-dup pairs (LSH-blocked)
-    // Candidate generation via the 16-bit hyperplane LSH bucket (q38's
-    // operator) — pairs sharing a bucket get exact cosine; threshold
-    // keeps near-duplicates. At corpus scale the bucket join replaces
-    // the O(n²) all-pairs cosine; bucket width tunes recall/cost.
+    // ------------- q47 embedding-cosine near-dup pairs (banded-LSH blocked)
+    // Candidate generation via BANDED hyperplane LSH (4 bands × 4 bits
+    // of the 16-plane signature): pairs agreeing on any one band get an
+    // exact cosine; threshold keeps near-duplicates. Banding (vs the
+    // previous all-16-bits single bucket, whose recall was near zero by
+    // construction) is the same recall lever as MinHash-LSH; at corpus
+    // scale the band equi-join replaces the O(n²) all-pairs cosine.
     QueryDef(
       "q47_embed_neardup",
       (s, d) => {
-        val emb = t(s, d, "embeddings")
-        val bucketed = Ann.lshBuckets(emb, "vec_id", "embedding", nBits = 16)
-          .join(emb, "vec_id")
-        val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
-          col("embedding").as("va"))
-        val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
-          col("embedding").as("vb"))
-        val dot = aggregate(
-          zip_with(col("va"), col("vb"), (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
-        val na = sqrt(aggregate(col("va"), lit(0.0),
-          (acc, v) => acc + v.cast("double") * v.cast("double")))
-        val nb = sqrt(aggregate(col("vb"), lit(0.0),
-          (acc, v) => acc + v.cast("double") * v.cast("double")))
-        a.join(b, Seq("bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("cosine", dot / (na * nb))
-          .filter(col("cosine") >= 0.2)
-          .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
-          .distinct()
+        Ann.embedNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+            nBits = 16, bands = 4, threshold = 0.2)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some {
@@ -58,19 +42,26 @@ object CurationQueries {
              |      (CAST(list_sum(list_transform(range(0, 4), c ->
              |         (strpos('0123456789abcdef', substr(md5($bit || ':' || dd), CAST(c + 1 AS INT), 1)) - 1)
              |         * CAST(power(16, 3 - c) AS BIGINT))) AS DOUBLE) / 65536.0 - 0.5)))""".stripMargin
-        val bits = (0 until 16).map { bb =>
-          s"CASE WHEN ${planeDot(s"'$bb'")} > 0 THEN CAST(${1L << bb} AS BIGINT) ELSE 0 END"
+        val bandVal = (j: Int) => (0 until 4).map { i =>
+          val b = j * 4 + i
+          s"CASE WHEN ${planeDot(s"'$b'")} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
         }.mkString(" + ")
-        s"""WITH bk AS (
-           |  SELECT vec_id, embedding, CAST($bits AS BIGINT) AS bucket FROM embeddings),
+        val keyUnion = (0 until 4).map { j =>
+          s"SELECT vec_id, $j AS band, CAST(${bandVal(j)} AS BIGINT) AS band_val FROM embeddings"
+        }.mkString(" UNION ALL ")
+        s"""WITH keys AS ($keyUnion),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM keys a JOIN keys b ON a.band = b.band AND a.band_val = b.band_val
+           |    AND a.vec_id < b.vec_id),
            |pr AS (
-           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-           |    round(${dotSql("a.embedding", "b.embedding")} /
-           |      (${vnormSql("a.embedding")} * ${vnormSql("b.embedding")}), 6) AS cosine,
-           |    ${dotSql("a.embedding", "b.embedding")} /
-           |      (${vnormSql("a.embedding")} * ${vnormSql("b.embedding")}) AS raw
-           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-           |SELECT id_a, id_b, cosine FROM pr WHERE raw >= 0.2
+           |  SELECT id_a, id_b,
+           |    ${dotSql("ea.embedding", "eb.embedding")} /
+           |      (${vnormSql("ea.embedding")} * ${vnormSql("eb.embedding")}) AS raw
+           |  FROM cand
+           |  JOIN embeddings ea ON ea.vec_id = cand.id_a
+           |  JOIN embeddings eb ON eb.vec_id = cand.id_b)
+           |SELECT id_a, id_b, round(raw, 6) AS cosine FROM pr WHERE raw >= 0.2
            |ORDER BY id_a, id_b""".stripMargin
       }),
 

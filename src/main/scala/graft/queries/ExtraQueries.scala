@@ -164,5 +164,39 @@ object ExtraQueries {
            |SELECT tok, word, CAST(levenshtein(tok, word) AS INT) AS dist
            |FROM toks JOIN vocab ON levenshtein(tok, word) <= 1
            |ORDER BY tok, word""".stripMargin
-      }))
+      }),
+
+    // ----------------- q55 nested-struct reference rewrite (M10)
+    // Each clip becomes a 2-entry bundle (array<struct{kind,ref}>); the
+    // operator rewires every entry's ref in place (transform+withField,
+    // no explode/regroup shuffle) and quarantines bundles containing an
+    // unresolvable (null) ref — the AimLabMapper.java:323-363 rewiring
+    // + validateReference-throws→skip semantics. Every 13th bundle
+    // carries a null alt-ref, so the oracle shows both behaviors.
+    QueryDef(
+      "q55_struct_rewrite",
+      (s, d) => {
+        val clips = graft.synth.ClipGen.clipsMeta(s, d)
+        val entries = array(
+          struct(lit("primary").as("kind"), col("clip_id").as("ref")),
+          struct(lit("alt").as("kind"),
+            when(col("event_id") % 13 === 0, lit(null).cast("string"))
+              .otherwise(concat(col("clip_id"), lit("#alt"))).as("ref")))
+        val bundled = clips.select(col("event_id"), entries.as("entries"))
+        val (ok, _) = graft.operators.StructRewrite.rewriteRefs(
+          bundled, "entries", "ref", r => concat(lit("res/"), r))
+        ok.select(col("event_id"),
+            posexplode(col("entries")).as(Seq("pos", "e")))
+          .select(col("event_id"), col("pos"),
+            col("e.kind").as("kind"), col("e.ref").as("ref"))
+          .orderBy(col("event_id"), col("pos"))
+      },
+      Some(s"""WITH clips AS (${graft.synth.ClipGen.metaSql}),
+              |b AS (SELECT event_id, clip_id FROM clips WHERE event_id % 13 <> 0),
+              |e AS (
+              |  SELECT event_id, CAST(0 AS INT) AS pos, 'primary' AS kind, 'res/' || clip_id AS ref FROM b
+              |  UNION ALL
+              |  SELECT event_id, CAST(1 AS INT), 'alt', 'res/' || clip_id || '#alt' FROM b)
+              |SELECT event_id, pos, kind, ref FROM e ORDER BY event_id, pos""".stripMargin))
+  )
 }

@@ -22,9 +22,20 @@ object MoreQueries {
   val CsvPath: String = {
     val repoPath = "/root/repo/src/main/resources/codec_catalog.csv"
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(repoPath))) repoPath
-    else // non-/root/repo checkouts: resolve from the classpath
-      Option(getClass.getResource("/codec_catalog.csv"))
-        .map(_.getPath).getOrElse(repoPath)
+    else
+      // non-/root/repo checkouts: materialize the classpath resource to
+      // a temp file — getResource(...).getPath would be a
+      // 'file:...jar!/...' URL for a jar-packaged resource, which
+      // neither spark.read.csv nor the DuckDB oracle can open
+      Option(getClass.getResourceAsStream("/codec_catalog.csv")).map { in =>
+        try {
+          val tmp = java.nio.file.Files.createTempFile("codec_catalog_", ".csv")
+          tmp.toFile.deleteOnExit()
+          java.nio.file.Files.copy(in, tmp,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          tmp.toString
+        } finally in.close()
+      }.getOrElse(repoPath)
   }
 
   import org.apache.spark.sql.types._

@@ -45,10 +45,16 @@ object StreamQueries {
               |FROM clips GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin)),
 
     // ---------------------------------- s02 keyed stateful dedup (D1)
+    // Oracle parity assumes ONE AvailableNow batch (asserted below):
+    // dedupFn numbers occurrences in event-time order WITHIN a batch
+    // but in arrival order ACROSS batches (see Model.scala's
+    // cross-batch semantics note), while the oracle numbers by global
+    // event-time order — equal only when all rows share one batch.
     QueryDef(
       "s02_stream_dedup",
       (s, d) => {
         import s.implicits._
+        StreamRunner.assertSingleBatchInput(s"$d/events.parquet")
         val clips = metaProjection(
           StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
           .withColumn("event_time", col("event_time").cast("timestamp"))
@@ -94,6 +100,55 @@ object StreamQueries {
               |  AND u.u_event_time >= c.event_time
               |  AND u.u_event_time <= c.event_time + INTERVAL 10 MINUTE
               |ORDER BY c.clip_id, c.event_id, u.u_event_time""".stripMargin)),
+
+    // ------------------- s09 stream-stream LEFT OUTER interval join (J3)
+    // Unmatched clips emit with null update columns only when the
+    // watermark passes their join window (state eviction). Clips near
+    // the stream tail are never evicted before the query ends, so both
+    // sides apply the same deterministic cutoff: final watermark
+    // (min over both streams' max event time − 30 min delay) minus the
+    // 10-min join window minus a 1-min margin — every clip at or below
+    // the cutoff is provably evicted, boundary ties are impossible.
+    // Assumes single-batch arrival (asserted): a multi-batch input
+    // would drop late rows against intermediate watermarks.
+    QueryDef(
+      "s09_stream_left_join",
+      (s, d) => {
+        StreamRunner.assertSingleBatchInput(s"$d/events.parquet")
+        val evB = s.read.parquet(s"$d/events.parquet")
+        val m = evB.agg(
+          max(col("ts")).as("m_all"),
+          max(when(col("event_id") % 6 === 1, col("ts"))).as("m_upd")).head()
+        val mAll = m.getAs[java.time.LocalDateTime]("m_all")
+        val mUpd = m.getAs[java.time.LocalDateTime]("m_upd").plusMinutes(3)
+        val cutoff = (if (mAll.isBefore(mUpd)) mAll else mUpd).minusMinutes(41)
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .drop("sr_hz", "dur_ms", "codec")
+        val updates = ClipGen.updatesProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+          .withColumn("u_event_time", col("u_event_time").cast("timestamp"))
+        val joined = ClipPipeline
+          .transcriptUpdateLeftJoin(clips, updates, "30 minutes", "10 MINUTES")
+          .select(col("clip_id"), col("event_id"), col("event_time"),
+            col("u_transcript"), col("u_event_time"))
+        StreamRunner.runToMemory(joined, "append")
+          .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
+          .withColumn("u_event_time", col("u_event_time").cast("timestamp_ntz"))
+          .filter(col("event_time") <= lit(cutoff))
+          .orderBy(col("clip_id"), col("event_id"),
+            col("u_event_time").asc_nulls_first)
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql}),
+              |upd AS (${ClipGen.updatesSql}),
+              |co AS (SELECT least(max(ts), (SELECT max(ts) FROM events WHERE event_id % 6 = 1) + INTERVAL 3 MINUTE) - INTERVAL 41 MINUTE AS cutoff FROM events)
+              |SELECT c.clip_id, c.event_id, c.event_time, u.u_transcript, u.u_event_time
+              |FROM clips c LEFT JOIN upd u ON c.clip_id = u.clip_id
+              |  AND u.u_event_time >= c.event_time
+              |  AND u.u_event_time <= c.event_time + INTERVAL 10 MINUTE
+              |WHERE c.event_time <= (SELECT cutoff FROM co)
+              |ORDER BY c.clip_id, c.event_id, u.u_event_time NULLS FIRST""".stripMargin)),
 
     // ------------------------------- s04 streaming session windows (D4)
     QueryDef(

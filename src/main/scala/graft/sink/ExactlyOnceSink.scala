@@ -69,40 +69,53 @@ class ExactlyOnceSink(outDir: String, orderCols: Seq[String]) extends Serializab
         df.repartition(col(orderCols.head))
           .sortWithinPartitions(orderCols.map(col): _*)
       else df
-    val cached = ordered.cache()
-    try {
-      cached.write.mode("overwrite").parquet(stagingDir(batchId).toString)
 
-      // per-partition lineage + metrics (D7/D8: counts per output task
-      // partition, event-time bounds when present)
-      val partCounts = cached
-        .groupBy(spark_partition_id().as("partition_id"))
-        .agg(count(lit(1)).as("rows"))
-        .collect()
-        .map(r => s"""{"partition_id":${r.getInt(0)},"rows":${r.getLong(1)}}""")
-        .sorted
-        .mkString("[", ",", "]")
-      val total = cached.count()
-      val tsBounds =
-        if (cached.columns.contains("event_time")) {
-          val b = cached.agg(
-            min(col("event_time")).cast("string").as("mn"),
-            max(col("event_time")).cast("string").as("mx")).head()
-          s""","event_time_min":"${b.getString(0)}","event_time_max":"${b.getString(1)}""""
-        } else ""
-      val lineageJson =
-        s"""{"batch_id":$batchId,"rows":$total,"partitions":$partCounts$tsBounds}"""
-      Files.writeString(lineageFile(batchId), lineageJson)
-
-      // commit: atomic dir move, then atomic marker create
-      val target = dataDir(batchId)
-      if (Files.exists(target)) FsUtil.deleteRecursively(target) // crashed pre-marker
-      Files.move(stagingDir(batchId), target, StandardCopyOption.ATOMIC_MOVE)
-      Files.write(commitMarker(batchId), lineageJson.getBytes("UTF-8"),
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    } finally {
-      cached.unpersist()
+    // Single-pass lineage (D7/D8): row count + event-time bounds ride
+    // the staging write itself via observe() (one Spark job per batch,
+    // not four — this is micro-batch p99 latency); per-partition counts
+    // come from the staged parquet footers, driver-side metadata only.
+    val hasTs = ordered.columns.contains("event_time")
+    val obs = org.apache.spark.sql.Observation(s"sink-lineage-$batchId-${System.nanoTime()}")
+    val metrics =
+      count(lit(1)).as("rows") +: (
+        if (hasTs)
+          Seq(min(col("event_time")).cast("string").as("mn"),
+            max(col("event_time")).cast("string").as("mx"))
+        else Seq.empty)
+    ordered.observe(obs, metrics.head, metrics.tail: _*)
+      .write.mode("overwrite").parquet(stagingDir(batchId).toString)
+    val m = obs.get
+    val total = m("rows").asInstanceOf[Long]
+    val tsBounds =
+      if (hasTs && total > 0)
+        s""","event_time_min":"${m("mn")}","event_time_max":"${m("mx")}""""
+      else ""
+    val partCounts = {
+      val stream = Files.list(stagingDir(batchId))
+      val files =
+        try stream.iterator.asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("part-"))
+        finally stream.close()
+      val conf = spark.sessionState.newHadoopConf()
+      files.map { f =>
+        val pid = f.getFileName.toString.stripPrefix("part-").take(5).toInt
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toUri), conf))
+        val n = try reader.getRecordCount finally reader.close()
+        s"""{"partition_id":$pid,"rows":$n}"""
+      }.sorted.mkString("[", ",", "]")
     }
+    val lineageJson =
+      s"""{"batch_id":$batchId,"rows":$total,"partitions":$partCounts$tsBounds}"""
+    Files.writeString(lineageFile(batchId), lineageJson)
+
+    // commit: atomic dir move, then atomic marker create
+    val target = dataDir(batchId)
+    if (Files.exists(target)) FsUtil.deleteRecursively(target) // crashed pre-marker
+    Files.move(stagingDir(batchId), target, StandardCopyOption.ATOMIC_MOVE)
+    Files.write(commitMarker(batchId), lineageJson.getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
   }
 
   /** All committed rows (ignores uncommitted staging leftovers). */

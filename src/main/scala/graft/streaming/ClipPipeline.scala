@@ -40,15 +40,18 @@ object ClipPipeline {
     * `mapValues(mapper).filter(v != null)`
     * (/root/reference/src/main/java/de/unimarburg/diz/labtofhir/processor/LabToFhirProcessor.java:39-40).
     */
-  def mapClip(c: Clip): Option[MappedClip] =
+  def mapClip(c: Clip): Option[MappedClip] = mapClipEither(c).toOption
+
+  /** [[mapClip]] with the failure reason (quarantine + strict mode). */
+  def mapClipEither(c: Clip): Either[String, MappedClip] =
     // fused decode+stats: no per-sample allocation (Codecs.summarize)
     Codecs.summarize(c.codec, c.bytes) match {
-      case Left(_) => None // F4 exception guard: skip, don't crash
+      case Left(reason) => Left(reason) // F4 exception guard: skip, don't crash
       case Right(st) =>
         val rms = math.sqrt(st.sumSq / st.n)
         val norm = normalizeTranscriptJvm(c.transcript)
         val nTok = if (norm.isEmpty) 0 else norm.count(_ == ' ') + 1
-        Some(MappedClip(
+        Right(MappedClip(
           clip_id = c.clip_id,
           out_id = outId(c),
           sr_hz = c.sr_hz,
@@ -86,6 +89,37 @@ object ClipPipeline {
   def decodeStage(clips: Dataset[Clip]): Dataset[MappedClip] = {
     import clips.sparkSession.implicits._
     clips.flatMap(mapClip _)
+  }
+
+  /** STRICT decode stage (opt-in): the reference's poison-pill
+    * semantics — a deserialization error halts the client rather than
+    * being skipped (/root/reference/src/main/java/de/unimarburg/diz/labtofhir/configuration/KafkaConfiguration.java:31-42,
+    * README.md:85-89). The engine's default stays quarantine
+    * ([[decodeStage]] + [[quarantineStage]], a documented divergence);
+    * this variant throws once a task sees more than `maxFailures`
+    * malformed records, failing the batch and stopping the streaming
+    * query with the decode reason. The failure budget is counted per
+    * task (the Spark analogue of the reference's per-client shutdown);
+    * `maxFailures = 0` means the first poison record anywhere halts.
+    */
+  def decodeStageStrict(clips: Dataset[Clip],
+      maxFailures: Long = 0L): Dataset[MappedClip] = {
+    import clips.sparkSession.implicits._
+    clips.mapPartitions { it =>
+      var failures = 0L
+      it.flatMap { c =>
+        mapClipEither(c) match {
+          case Right(m) => Iterator.single(m)
+          case Left(reason) =>
+            failures += 1
+            if (failures > maxFailures)
+              throw new IllegalStateException(
+                s"strict mode: decode failure #$failures (budget $maxFailures) " +
+                  s"for clip ${c.clip_id} [codec=${c.codec}]: $reason")
+            Iterator.empty
+        }
+      }
+    }
   }
 
   /** Quarantine view: the records the decode stage skips, with the
@@ -257,18 +291,14 @@ object ClipPipeline {
       : Dataset[(String, String, Int, Double)] = {
     import clips.sparkSession.implicits._
     clips.flatMap { c =>
-      Codecs.decode(c.codec, c.bytes) match {
+      val frameLen = math.max(1, c.sr_hz * frameMs / 1000)
+      // fused decode+frame-energy (Codecs.frameEnergies): per-frame sums
+      // accumulate inside the codec loop, no Float array per clip —
+      // same fusion as the decode stage's Codecs.summarize (~2× on p04)
+      Codecs.frameEnergies(c.codec, c.bytes, frameLen) match {
         case Left(_) => Iterator.empty
-        case Right(samples) =>
-          val frameLen = math.max(1, c.sr_hz * frameMs / 1000)
-          val nFrames = (samples.length + frameLen - 1) / frameLen
-          (0 until nFrames).iterator.map { f =>
-            var e = 0.0
-            var i = f * frameLen
-            val end = math.min(samples.length, (f + 1) * frameLen)
-            while (i < end) { e += samples(i).toDouble * samples(i); i += 1 }
-            (c.clip_id, c.codec, f, e)
-          }
+        case Right(es) =>
+          es.iterator.zipWithIndex.map { case (e, f) => (c.clip_id, c.codec, f, e) }
       }
     }
   }

@@ -61,6 +61,23 @@ object StreamRunner {
     }
   }
 
+  /** Guard for queries whose DuckDB oracle assumes the whole input
+    * arrives as ONE AvailableNow micro-batch (e.g. s02's occurrence
+    * numbering is event-time order within a batch but arrival order
+    * across batches; s09's eviction cutoff assumes the final watermark
+    * is computed over all rows at once). A multi-file input or any
+    * `maxFilesPerTrigger` would silently change semantics vs the
+    * oracle, so fail loudly instead.
+    */
+  def assertSingleBatchInput(path: String): Unit = {
+    val dir = java.nio.file.Paths.get(streamableDir(path))
+    val n = java.nio.file.Files.list(dir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
+    require(n == 1,
+      s"oracle parity requires a single-file (single-batch) input; found $n parquet files in $dir")
+  }
+
   /** Run a streaming DataFrame to completion over all currently
     * available input (Trigger.AvailableNow) into an in-memory table and
     * return it as a batch DataFrame. Used by Verify so streaming

@@ -120,6 +120,28 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("frameEnergies is bit-identical to the unfused decode+frame path") {
+    for (codec <- Seq("pcm16le", "ulaw", "alaw", "adpcm"); seed <- 0L to 6L) {
+      val samples = graft.synth.ClipGen.samplesFor(seed, 8000, 137) // 1096 samples, odd tail frame
+      val bytes = Codecs.encode(codec, samples)
+      val frameLen = 100
+      val fused = Codecs.frameEnergies(codec, bytes, frameLen).toOption.get
+      val dec = Codecs.decode(codec, bytes).toOption.get
+      val nFrames = (dec.length + frameLen - 1) / frameLen
+      assert(fused.length == nFrames, s"$codec/$seed frame count")
+      for (f <- 0 until nFrames) {
+        var e = 0.0
+        var i = f * frameLen
+        val end = math.min(dec.length, (f + 1) * frameLen)
+        while (i < end) { e += dec(i).toDouble * dec(i); i += 1 }
+        assert(fused(f) == e, s"$codec/$seed frame $f")
+      }
+    }
+    assert(Codecs.frameEnergies("mp3", Array[Byte](1), 10).isLeft)
+    assert(Codecs.frameEnergies("pcm16le", Array[Byte](1, 2, 3), 10).isLeft)
+    assert(Codecs.frameEnergies("ulaw", null, 10).isLeft)
+  }
+
   test("summarize rejects the same malformed payloads decode does") {
     assert(Codecs.summarize("mp3", Array[Byte](1)).isLeft)
     assert(Codecs.summarize("pcm16le", Array[Byte](1, 2, 3)).isLeft)

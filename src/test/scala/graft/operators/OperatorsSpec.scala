@@ -179,6 +179,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("embedNearDupPairs: banded LSH has non-vacuous recall vs brute force (q47)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // brute-force truth: all pairs with cosine >= 0.35 (the similar tail
+    // of this corpus — max pair cosine is ~0.48)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    def nrm(c: org.apache.spark.sql.Column) = sqrt(aggregate(c, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", dot / (nrm(col("va")) * nrm(col("vb"))))
+      .filter(col("cosine") >= 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Ann.embedNearDupPairs(emb, "vec_id", "embedding",
+        nBits = 16, bands = 4, threshold = 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val recall = (truth & banded).size.toDouble / truth.size
+    // 4 bands x 4 bits at cosine 0.35 expects ~0.45 recall; the old
+    // single 16-bit bucket measured 0.0 here (vacuous by construction)
+    assert(recall >= 0.25, s"banded recall $recall over ${truth.size} true pairs")
+    assert(banded.subsetOf(truth), "banding only blocks candidates; cosine filter is exact")
+  }
+
+  test("embedNearDupPairs: planted near-duplicates are found with >=0.9 recall") {
+    // 60 base vectors + a jittered twin each (cosine ~0.999) — the
+    // regime the operator ships for; banding must not lose these
+    val base = (0 until 60).map { i =>
+      (i.toLong, (0 until 64).map(d => math.sin(i * 97 + d * 13).toFloat))
+    }
+    val twins = base.map { case (id, v) =>
+      (id + 1000L, v.zipWithIndex.map { case (x, d) => x + 0.01f * ((id + d) % 3 - 1) })
+    }
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val found = Ann.embedNearDupPairs(emb, "vec_id", "embedding",
+        nBits = 16, bands = 4, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val hit = (0 until 60).count(i => found.contains((i.toLong, i + 1000L)))
+    assert(hit >= 54, s"found $hit/60 planted twins")
+  }
+
+  test("StructRewrite rewires every nested ref; a null ref quarantines the whole bundle (M10)") {
+    // mirrors AimLabMapperTests' request-params assertions: every entry
+    // of the surviving bundle points at the rewritten reference, the
+    // poisoned bundle is skipped wholesale (not partially rewritten)
+    val bundles = Seq(
+      (1L, Seq(("obs", "p1"), ("enc", "p1"))),
+      (2L, Seq(("obs", "p2"), ("enc", null))), // unresolvable → quarantine
+      (3L, Seq.empty[(String, String)])        // no entries → nothing missing
+    ).toDF("msg_id", "raw")
+      .select(col("msg_id"), expr(
+        "transform(raw, x -> named_struct('kind', x._1, 'ref', x._2))").as("entries"))
+    val (ok, bad) = graft.operators.StructRewrite.rewriteRefs(
+      bundles, "entries", "ref", r => concat(lit("Patient/"), r))
+    val okRows = ok.select(col("msg_id"), col("entries")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getString(0), e.getString(1)))).toMap
+    assert(okRows.keySet == Set(1L, 3L))
+    assert(okRows(1L) == Seq(("obs", "Patient/p1"), ("enc", "Patient/p1")))
+    assert(okRows(3L).isEmpty)
+    assert(bad.select("msg_id").as[Long].collect().toSeq == Seq(2L))
+    // the quarantined bundle keeps its ORIGINAL entries (auditable)
+    val badEntries = bad.select(col("entries")).head().getSeq[org.apache.spark.sql.Row](0)
+      .map(e => (e.getString(0), e.getString(1)))
+    assert(badEntries == Seq(("obs", "p2"), ("enc", null)))
+  }
+
   test("cosineTopK is exact: neighbor of identical vector ranks first") {
     val v1 = (1 to 8).map(_.toFloat)
     val v2 = v1 // identical direction

@@ -220,6 +220,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("strict mode: one poison record stops the query at threshold 0; budget 1 tolerates it (F4 strict)") {
+    def clip(id: String, codec: String, eventId: Long): graft.model.Clip = {
+      val bytes =
+        if (codec == "unknown") Array[Byte](1, 2, 3)
+        else graft.audio.Codecs.encode(codec,
+          graft.synth.ClipGen.samplesFor(eventId, 8000, 50))
+      graft.model.Clip(id, bytes, 8000, 50, codec, "t",
+        java.time.LocalDateTime.of(2024, 1, 1, 10, 0))
+    }
+    // threshold 0 → the reference's poison-pill shutdown: query FAILS
+    val in0 = MemoryStream[graft.model.Clip](20, spark, None)
+    val q0 = ClipPipeline.decodeStageStrict(in0.toDS(), maxFailures = 0).toDF()
+      .writeStream.format("memory").queryName("strict_t0")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in0.addData(clip("ok", "pcm16le", 1), clip("bad", "unknown", 2))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q0.processAllAvailable()
+      }
+      assert(e.getMessage.contains("strict mode") || Option(e.getCause)
+        .exists(_.toString.contains("strict mode")), s"got: ${e.getMessage}")
+      assert(!q0.isActive, "query must stop on the poison record")
+    } finally q0.stop()
+
+    // budget 1 → one poison record is still skipped, query survives
+    val in1 = MemoryStream[graft.model.Clip](21, spark, None)
+    val q1 = ClipPipeline.decodeStageStrict(in1.toDS(), maxFailures = 1).toDF()
+      .writeStream.format("memory").queryName("strict_t1")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in1.addData(clip("ok1", "pcm16le", 1), clip("bad", "unknown", 2),
+        clip("ok2", "ulaw", 3))
+      q1.processAllAvailable()
+      assert(q1.isActive)
+      val ids = spark.table("strict_t1").select("clip_id").as[String].collect().toSet
+      assert(ids == Set("ok1", "ok2"))
+    } finally q1.stop()
+  }
+
   test("LEFT OUTER stream-stream join emits unmatched clips with nulls after watermark (J3)") {
     val clips = MemoryStream[ClipMeta](10, spark, None)
     val updates = MemoryStream[(String, String, Timestamp)](11, spark, None)
