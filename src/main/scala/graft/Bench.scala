@@ -101,6 +101,18 @@ object Bench {
     // rider ran too little work per timed pass and recorded an
     // overhead-dominated efficiency that failed the ≥0.8 gate.
     spark.stop()
+
+    // end-to-end p99 micro-batch latency of the stateful dedup pipeline
+    // (BASELINE.md engine target: clips/sec + p99) — 16 Kafka-partition-
+    // sized file triggers through decode-metadata → stateful dedup
+    val p99Ms =
+      try ScalingBench.p99(ScalingBench.runStreamLatencies(cpus.toInt, sfDir))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] p99 probe failed: ${e.getMessage}")
+          -1.0
+      }
+
     val scalingJson =
       try ScalingBench.scalingEvidence(sfDir)
       catch {
@@ -110,6 +122,6 @@ object Bench {
       }
 
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"throughput":$tp,"scaling":$scalingJson,"cpus":$cpus,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"throughput":$tp,"stream_p99_batch_ms":$p99Ms%.0f,"scaling":$scalingJson,"cpus":$cpus,"sf":"$sfDir"}""")
   }
 }

@@ -58,17 +58,32 @@ object Ann {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Fixed-point scale for exact centroid sums: float32 has a 24-bit
+    * mantissa, so for the magnitudes an embedding column carries
+    * (|v| ≳ 1e-6) `v * 2^46` is EXACTLY integral in double — the
+    * per-dimension sums become BIGINTs, which are order-independent
+    * and bit-identical across engines (a plain double `avg` is a
+    * distributed float sum whose value depends on partition order).
+    * Bounded: |v| < 2^17 per element and < 2^52 total per (cluster,
+    * dim) before a BIGINT sum could lose exactness; at larger cluster
+    * sizes switch the sum to DECIMAL.
+    */
+  private val CentroidScale = 70368744177664.0 // 2^46
+
   /** IVF-style ANN: coarse centroids = per-`clusterCol` mean vectors
-    * (computed by posexplode → per-dimension avg — a single shuffled
-    * aggregation); each query routes to its `nProbe` nearest centroids
-    * and scores only members of those clusters.
+    * (posexplode → per-dimension EXACT scaled-integer sum — a single
+    * shuffled aggregation, deterministic across engines/partitionings);
+    * each query routes to its `nProbe` nearest centroids and scores
+    * only members of those clusters.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, clusterCol: String, k: Int, nProbe: Int = 1): DataFrame = {
     val dims = corpus
       .select(col(clusterCol).as("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy("cluster", "dim")
-      .agg(avg(col("v").cast("double")).as("m"))
+      .agg(sum((col("v").cast("double") * CentroidScale).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("m", col("s").cast("double") / CentroidScale / col("n"))
     val centroids = dims
       .groupBy("cluster")
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))

@@ -50,9 +50,12 @@ object AnnQueries {
               |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // --------------------------------------------- q37 IVF-probed top-k
-    // (centroid means are distributed float sums — not bit-reproducible
-    // in an external engine, so this is a rows-only check; recall vs the
-    // brute-force baseline is asserted in AnnSpec instead.)
+    // Fully value-oracled: centroids are per-(cluster, dim) sums of
+    // v·2^46 as BIGINT (exactly integral for float32 inputs — see
+    // Ann.CentroidScale), so the "mean vector" is order-independent and
+    // bit-identical in DuckDB; routing distances, cosines and ranks
+    // then reproduce exactly. Recall vs brute force additionally
+    // asserted in OperatorsSpec.
     QueryDef(
       "q37_ann_ivf",
       (s, d) => {
@@ -61,7 +64,40 @@ object AnnQueries {
           "embedding", "label", k = 5, nProbe = 2)
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some {
+        val scale = "70368744177664.0"
+        val cdist =
+          s"""list_sum(list_transform(range(1, 65), i ->
+             |    (CAST(qv[CAST(i AS INT)] AS DOUBLE) - centroid[CAST(i AS INT)]) *
+             |    (CAST(qv[CAST(i AS INT)] AS DOUBLE) - centroid[CAST(i AS INT)])))""".stripMargin
+        s"""WITH ex AS (
+           |  SELECT label AS cluster, CAST(u.dim AS INT) AS dim,
+           |    CAST(CAST(embedding[CAST(u.dim + 1 AS INT)] AS DOUBLE) * $scale AS BIGINT) AS sv
+           |  FROM embeddings, LATERAL (SELECT unnest(range(0, 64)) AS dim) u),
+           |cs AS (
+           |  SELECT cluster, dim, CAST(SUM(sv) AS BIGINT) AS s, COUNT(*) AS n
+           |  FROM ex GROUP BY cluster, dim),
+           |cent AS (
+           |  SELECT cluster, list(CAST(s AS DOUBLE) / $scale / n ORDER BY dim) AS centroid
+           |  FROM cs GROUP BY cluster),
+           |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+           |rt AS (
+           |  SELECT query_id, qv, cluster,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY $cdist ASC, cluster ASC) AS crank
+           |  FROM q, cent),
+           |routed AS (SELECT query_id, qv, cluster FROM rt WHERE crank <= 2),
+           |mem AS (SELECT label AS cluster, vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+           |sc AS (
+           |  SELECT r.query_id, m.neighbor_id, m.cluster,
+           |    ${dotSql("qv", "cv")} / (${normSql("qv")} * ${normSql("cv")}) AS cosine
+           |  FROM routed r JOIN mem m ON r.cluster = m.cluster AND r.query_id <> m.neighbor_id),
+           |rk AS (
+           |  SELECT query_id, neighbor_id, cluster, cosine,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           |  FROM sc)
+           |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cosine, 6) AS cosine, cluster
+           |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }),
 
     // ------------------------------------- q38 LSH hyperplane bucketing
     QueryDef(

@@ -197,6 +197,44 @@ object ExtraQueries {
               |  SELECT event_id, CAST(0 AS INT) AS pos, 'primary' AS kind, 'res/' || clip_id AS ref FROM b
               |  UNION ALL
               |  SELECT event_id, CAST(1 AS INT), 'alt', 'res/' || clip_id || '#alt' FROM b)
-              |SELECT event_id, pos, kind, ref FROM e ORDER BY event_id, pos""".stripMargin))
+              |SELECT event_id, pos, kind, ref FROM e ORDER BY event_id, pos""".stripMargin)),
+
+    // ------------- q56 G.711 decode laws value-checked against SQL (S7)
+    // The engine's μ-law/A-law decoders are 256-entry pure functions
+    // (ITU-T G.711 bit laws); this query runs graft.audio.Codecs over
+    // the full byte domain (derived from events so the driver table is
+    // the input) and the oracle re-implements both laws independently
+    // in DuckDB integer arithmetic — converting the G.711 half of the
+    // decode path from JVM-tested to value-oracled (p01 stays rows-only
+    // for the stateful ADPCM codec).
+    QueryDef(
+      "q56_g711_decode_check",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .select((col("event_id") % 256).cast("int").as("b"))
+          .distinct()
+          .as[Int]
+          .map(b => (b,
+            graft.audio.Codecs.ulawDecodeSample(b.toByte).toInt,
+            graft.audio.Codecs.alawDecodeSample(b.toByte).toInt))
+          .toDF("b", "ulaw_pcm", "alaw_pcm")
+          .orderBy(col("b"))
+      },
+      Some("""WITH b AS (SELECT DISTINCT CAST(event_id % 256 AS INT) AS b FROM events),
+             |m AS (
+             |  SELECT b, xor(b, 255) AS ub, xor(b, 85) AS ab FROM b),
+             |law AS (
+             |  SELECT b,
+             |    ((((ub & 15) << 3) + 132) << ((ub >> 4) & 7)) - 132 AS us,
+             |    (ub & 128) AS usign,
+             |    CASE WHEN ((ab >> 4) & 7) = 0 THEN ((ab & 15) << 4) + 8
+             |         ELSE (((ab & 15) << 4) + 264) << (((ab >> 4) & 7) - 1) END AS as_,
+             |    (ab & 128) AS asign
+             |  FROM m)
+             |SELECT b,
+             |  CAST(CASE WHEN usign != 0 THEN -us ELSE us END AS INT) AS ulaw_pcm,
+             |  CAST(CASE WHEN asign = 0 THEN -as_ ELSE as_ END AS INT) AS alaw_pcm
+             |FROM law ORDER BY b""".stripMargin))
   )
 }
