@@ -23,6 +23,19 @@ object StreamQueries {
   private def metaProjection(ev: DataFrame): DataFrame =
     ClipGen.metaProjection(ev)
 
+  /** Occurrence-numbering oracle shared by the two dedup
+    * implementations (s02 flatMapGroupsWithState, s10
+    * transformWithState — identical semantics, different state APIs).
+    */
+  private val dedupOracleSql: String =
+    s"""WITH clips AS (${ClipGen.metaSql}),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY clip_id ORDER BY event_time, event_id) AS INT) AS occ
+       |  FROM clips)
+       |SELECT clip_id, occ AS occurrence,
+       |  CASE WHEN occ = 1 THEN clip_id ELSE clip_id || '_' || (occ - 1) END AS out_id,
+       |  occ > 1 AS is_dup, event_time, transcript
+       |FROM r ORDER BY clip_id, occurrence""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // --------------------------------- s01 streaming tumbling rollup (D4)
     QueryDef(
@@ -65,13 +78,39 @@ object StreamQueries {
           .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
           .orderBy(col("clip_id"), col("occurrence"))
       },
-      Some(s"""WITH clips AS (${ClipGen.metaSql}),
-              |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY clip_id ORDER BY event_time, event_id) AS INT) AS occ
-              |  FROM clips)
-              |SELECT clip_id, occ AS occurrence,
-              |  CASE WHEN occ = 1 THEN clip_id ELSE clip_id || '_' || (occ - 1) END AS out_id,
-              |  occ > 1 AS is_dup, event_time, transcript
-              |FROM r ORDER BY clip_id, occurrence""".stripMargin)),
+      Some(dedupOracleSql)),
+
+    // ------------------- s10 keyed dedup via transformWithState (D1)
+    // The same dedup semantics as s02 through the Spark 4.x
+    // StatefulProcessor API (typed ValueState, native TTL) on the
+    // RocksDB store — both implementations must agree with one oracle.
+    QueryDef(
+      "s10_stream_dedup_tws",
+      (s, d) => {
+        import s.implicits._
+        StreamRunner.assertSingleBatchInput(s"$d/events.parquet")
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val clips = metaProjection(
+            StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+            .withColumn("event_time", col("event_time").cast("timestamp"))
+            .withWatermark("event_time", "10 minutes")
+            .as[ClipMeta]
+          val decided = graft.streaming.TwsDedup.dedupStageTws(clips)
+          StreamRunner.runToMemory(decided.toDF(), "append")
+            .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
+            .orderBy(col("clip_id"), col("occurrence"))
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None    => s.conf.unset(key)
+          }
+        }
+      },
+      Some(dedupOracleSql)),
 
     // ----------------------------- s03 stream-stream interval join (J3)
     QueryDef(

@@ -220,6 +220,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("transformWithState dedup: numbering continues across batches, matches dedupStage semantics (D1)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ClipMeta](30, spark, None)
+      val q = graft.streaming.TwsDedup
+        .dedupStageTws(input.toDS().withWatermark("event_time", "10 minutes"))
+        .toDF()
+        .writeStream.format("memory").queryName("tws_dedup")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(meta("a", 0, 1), meta("a", 1, 2), meta("b", 2, 3))
+        q.processAllAvailable()
+        input.addData(meta("a", 3, 4))
+        q.processAllAvailable()
+        val rows = spark.table("tws_dedup")
+          .orderBy("clip_id", "occurrence")
+          .select("clip_id", "occurrence", "out_id", "is_dup")
+          .as[(String, Int, String, Boolean)].collect().toSeq
+        assert(rows == Seq(
+          ("a", 1, "a", false),
+          ("a", 2, "a_1", true),
+          ("a", 3, "a_2", true), // ValueState carried into batch 2
+          ("b", 1, "b", false)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("strict mode: one poison record stops the query at threshold 0; budget 1 tolerates it (F4 strict)") {
     def clip(id: String, codec: String, eventId: Long): graft.model.Clip = {
       val bytes =
