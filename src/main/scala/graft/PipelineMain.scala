@@ -109,6 +109,7 @@ object PipelineMain {
       }
     val builder = SparkSession.builder()
       .appName("graft-pipeline")
+      .withExtensions(new GraftExtensions) // as-of strategy + simhash32/minhash32 SQL functions
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions",
         opt.getOrElse("shuffle-partitions",

@@ -107,20 +107,37 @@ object MinHash32 {
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash32",
-      exprs => {
-        import org.apache.spark.sql.catalyst.expressions.Literal
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-        val k = exprs(1) match {
-          case Literal(v: Number, ByteType | ShortType | IntegerType | LongType) =>
-            v.intValue()
+      "minhash32", fromExprs, "built-in")
+
+  /** Expression builder shared by [[register]] and
+    * [[graft.GraftExtensions]].
+    */
+  private[graft] def fromExprs(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): MinHash32 = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(exprs.length == 2, s"minhash32(arr, k) takes 2 args, got ${exprs.length}")
+    // any FOLDABLE integral expression works (lit(8), lit(8L),
+    // CAST(8 AS BIGINT), 4+4); evaluating a foldable needs no input
+    // row. Non-foldable k is rejected with a clear error instead of an
+    // undefined eval-against-no-row.
+    val kExpr = exprs(1)
+    val integral = kExpr.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    val k =
+      if (kExpr.foldable && integral)
+        kExpr.eval() match {
+          case n: Number => n.intValue()
           case other =>
             throw new IllegalArgumentException(
-              s"minhash32(arr, k): k must be an integral literal, got $other")
+              s"minhash32(arr, k): k must be a non-null integral literal, got $other")
         }
-        MinHash32(exprs.head, k)
-      },
-      "built-in")
+      else
+        throw new IllegalArgumentException(
+          s"minhash32(arr, k): k must be a foldable integral expression, got $kExpr")
+    MinHash32(exprs.head, k)
+  }
 
   /** Column wrapper (requires [[register]] on the active session). */
   def minhash32(shingles: Column, k: Int): Column =
