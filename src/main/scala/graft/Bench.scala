@@ -95,11 +95,12 @@ object Bench {
       f"""{"decode_clips_per_sec":$decodeClipsPerSec%.1f,"stream_dedup_rows_per_sec":$dedupRowsPerSec%.1f,"n_events":$nEvents}"""
 
     // scaling-efficiency evidence (north rule): delegate to the
-    // dedicated ScalingBench methodology (work_scale=4, reps=3, min,
-    // ceiling clamped ≤1.0) so the driver-collected artifact records
-    // the same number the full harness measures — a previous compact
-    // rider ran too little work per timed pass and recorded an
-    // overhead-dominated efficiency that failed the ≥0.8 gate.
+    // dedicated ScalingBench methodology (work_scale=6, reps=3 min,
+    // lo=6/hi=24, two recorded passes, ceiling clamped ≤1.0) so the
+    // driver-collected artifact records the same number the full
+    // harness measures — a previous compact rider ran too little work
+    // per timed pass and recorded an overhead-dominated efficiency
+    // that failed the ≥0.8 gate.
     spark.stop()
 
     // end-to-end p99 micro-batch latency of the stateful dedup pipeline

@@ -92,18 +92,7 @@ object ScalingBench {
           java.nio.file.Paths.get(sfDir).getFileName.toString).toString
       val marker = java.nio.file.Paths.get(streamDir + ".ok")
       val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-      val fingerprint = {
-        val (sz, mt) =
-          if (java.nio.file.Files.isDirectory(src)) {
-            val parts = java.nio.file.Files.list(src).toArray.toSeq
-              .map(_.asInstanceOf[java.nio.file.Path])
-            (parts.map(java.nio.file.Files.size).sum,
-              parts.map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
-                .foldLeft(0L)(math.max))
-          } else (java.nio.file.Files.size(src),
-            java.nio.file.Files.getLastModifiedTime(src).toMillis)
-        s"$src|$sz|$mt"
-      }
+      val fingerprint = graft.streaming.StreamRunner.sourceFingerprint(src)
       val fresh = java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fingerprint
       if (!fresh) {
@@ -194,9 +183,12 @@ object ScalingBench {
     f"""{"cpus_lo":$lo,"cpus_hi":$hi,"work_scale":$workScale,"reps":$reps,"sec_lo":${best.tLo}%.2f,"sec_hi":${best.tHi}%.2f,"raw_efficiency":${best.raw}%.3f,"machine_cpu_ceiling":${best.ceil}%.3f,"machine_cpu_ceiling_raw":${best.ceilRaw}%.3f,"normalized_efficiency":${best.norm}%.3f,"attempts":$attempts}"""
   }
 
+  /** Nearest-rank p99: index ceil(0.99·n) − 1 ((n·0.99).toInt would
+    * select the MAXIMUM once n ≥ 100).
+    */
   private[graft] def p99(xs: Seq[Double]): Double =
     if (xs.isEmpty) -1.0
-    else xs.sorted.apply(math.min(xs.size - 1, (xs.size * 0.99).toInt))
+    else xs.sorted.apply(math.max(0, math.ceil(xs.size * 0.99).toInt - 1))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -29,8 +29,12 @@ object StructRewrite {
     */
   def rewriteRefs(df: DataFrame, arrCol: String, refField: String,
       newRef: Column => Column): (DataFrame, DataFrame) = {
+    // a NULL array column is as unresolvable as a null ref inside it —
+    // without the isNull arm both filters would evaluate to NULL and
+    // the row would vanish from BOTH outputs (rewritten ∪ quarantined
+    // must equal the input)
     val anyMissing =
-      exists(col(arrCol), e => e.getField(refField).isNull)
+      col(arrCol).isNull || exists(col(arrCol), e => e.getField(refField).isNull)
     val rewritten = df
       .filter(!anyMissing)
       .withColumn(arrCol, transform(col(arrCol),

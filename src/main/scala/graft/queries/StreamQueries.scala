@@ -159,7 +159,14 @@ object StreamQueries {
           max(col("ts")).as("m_all"),
           max(when(col("event_id") % 6 === 1, col("ts"))).as("m_upd")).head()
         val mAll = m.getAs[java.time.LocalDateTime]("m_all")
-        val mUpd = m.getAs[java.time.LocalDateTime]("m_upd").plusMinutes(3)
+        // with ZERO update rows the updates stream's watermark never
+        // advances, the global (min) watermark stays at 0 and no
+        // unmatched clip is ever evicted — no cutoff can reconcile
+        // that with the oracle, so refuse loudly (needs ≥6 events)
+        val mUpdRaw = m.getAs[java.time.LocalDateTime]("m_upd")
+        require(mUpdRaw != null,
+          "s09 needs at least one transcript-update row (event_id % 6 = 1)")
+        val mUpd = mUpdRaw.plusMinutes(3)
         val cutoff = (if (mAll.isBefore(mUpd)) mAll else mUpd).minusMinutes(41)
         val clips = metaProjection(
           StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))

@@ -98,7 +98,9 @@ class ExactlyOnceSink(outDir: String, orderCols: Seq[String]) extends Serializab
         finally stream.close()
       val conf = spark.sessionState.newHadoopConf()
       files.map { f =>
-        val pid = f.getFileName.toString.stripPrefix("part-").take(5).toInt
+        // part-%05d-… but ≥100000 partitions widens the field: take digits
+        val pid = f.getFileName.toString.stripPrefix("part-")
+          .takeWhile(_.isDigit).toInt
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(f.toUri), conf))

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
@@ -26,6 +28,24 @@ object StreamRunner {
     r.parquet(streamableDir(path))
   }
 
+  /** `path|size|mtime` fingerprint of a parquet file or directory —
+    * THE staleness guard for every staged/cached copy (streamableDir,
+    * ScalingBench's micro-batch staging): a regenerated source must
+    * re-stage, never silently serve old rows.
+    */
+  def sourceFingerprint(p: java.nio.file.Path): String = {
+    val (sz, mt) =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val stream = java.nio.file.Files.list(p)
+        val parts = try stream.iterator.asScala.toSeq finally stream.close()
+        (parts.map(java.nio.file.Files.size).sum,
+          parts.map(x => java.nio.file.Files.getLastModifiedTime(x).toMillis)
+            .foldLeft(0L)(math.max))
+      } else (java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    s"${p.toAbsolutePath}|$sz|$mt"
+  }
+
   /** The file stream source requires a directory; a single-file input
     * (the driver's one-parquet-per-table layout) is staged into a
     * cached temp directory once.
@@ -41,7 +61,7 @@ object StreamRunner {
       // staleness guard: the cached copy must match the source's
       // size+mtime, or a regenerated dataset would silently stream
       // old rows
-      val fp = s"${p.toAbsolutePath}|${java.nio.file.Files.size(p)}|${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      val fp = sourceFingerprint(p)
       val marker = dir.resolve("_fingerprint")
       val fresh = java.nio.file.Files.exists(target) &&
         java.nio.file.Files.exists(marker) &&
@@ -71,9 +91,11 @@ object StreamRunner {
     */
   def assertSingleBatchInput(path: String): Unit = {
     val dir = java.nio.file.Paths.get(streamableDir(path))
-    val n = java.nio.file.Files.list(dir).toArray.toSeq
-      .map(_.asInstanceOf[java.nio.file.Path])
-      .count(p => p.getFileName.toString.endsWith(".parquet"))
+    val stream = java.nio.file.Files.list(dir)
+    val n =
+      try stream.iterator.asScala
+        .count(p => p.getFileName.toString.endsWith(".parquet"))
+      finally stream.close()
     require(n == 1,
       s"oracle parity requires a single-file (single-batch) input; found $n parquet files in $dir")
   }

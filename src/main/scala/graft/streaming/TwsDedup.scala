@@ -56,15 +56,19 @@ class DedupProcessor(ttl: java.time.Duration)
 object TwsDedup {
 
   /** Streaming keyed dedup via `transformWithState` (RocksDB-backed).
-    * `ttl = null` keeps state forever; a Duration enables native
-    * per-value TTL inside the store.
+    * `ttl = null` keeps state forever (event-time mode); a Duration
+    * enables native per-value TTL inside the store — state TTL is
+    * wall-clock by definition, and Spark enforces that by allowing
+    * `TTLConfig` only in `TimeMode.ProcessingTime()`
+    * (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL), so the
+    * time mode follows the ttl argument.
     */
   def dedupStageTws(clips: Dataset[ClipMeta],
       ttl: java.time.Duration = null): Dataset[DedupDecision] = {
     import clips.sparkSession.implicits._
+    val mode = if (ttl == null) TimeMode.EventTime() else TimeMode.ProcessingTime()
     clips
       .groupByKey(_.clip_id)
-      .transformWithState(new DedupProcessor(ttl),
-        TimeMode.EventTime(), OutputMode.Append())
+      .transformWithState(new DedupProcessor(ttl), mode, OutputMode.Append())
   }
 }

@@ -228,7 +228,8 @@ class OperatorsSpec extends AnyFunSuite {
     val bundles = Seq(
       (1L, Seq(("obs", "p1"), ("enc", "p1"))),
       (2L, Seq(("obs", "p2"), ("enc", null))), // unresolvable → quarantine
-      (3L, Seq.empty[(String, String)])        // no entries → nothing missing
+      (3L, Seq.empty[(String, String)]),       // no entries → nothing missing
+      (4L, null)                               // null bundle → quarantine, not vanish
     ).toDF("msg_id", "raw")
       .select(col("msg_id"), expr(
         "transform(raw, x -> named_struct('kind', x._1, 'ref', x._2))").as("entries"))
@@ -240,9 +241,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert(okRows.keySet == Set(1L, 3L))
     assert(okRows(1L) == Seq(("obs", "Patient/p1"), ("enc", "Patient/p1")))
     assert(okRows(3L).isEmpty)
-    assert(bad.select("msg_id").as[Long].collect().toSeq == Seq(2L))
+    assert(bad.select("msg_id").as[Long].collect().toSet == Set(2L, 4L),
+      "rewritten + quarantined must partition the input, incl. null bundles")
     // the quarantined bundle keeps its ORIGINAL entries (auditable)
-    val badEntries = bad.select(col("entries")).head().getSeq[org.apache.spark.sql.Row](0)
+    val badEntries = bad.filter(col("msg_id") === 2).select(col("entries"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
       .map(e => (e.getString(0), e.getString(1)))
     assert(badEntries == Seq(("obs", "p2"), ("enc", null)))
   }

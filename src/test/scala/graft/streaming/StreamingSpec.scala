@@ -247,6 +247,28 @@ class StreamingSpec extends AnyFunSuite {
           ("a", 3, "a_2", true), // ValueState carried into batch 2
           ("b", 1, "b", false)))
       } finally q.stop()
+
+      // native-TTL path: a Duration forces ProcessingTime mode (Spark
+      // rejects TTLConfig under EventTime) and the query must still
+      // dedup correctly with a long TTL
+      val inTtl = MemoryStream[ClipMeta](31, spark, None)
+      val qTtl = graft.streaming.TwsDedup
+        .dedupStageTws(inTtl.toDS(), ttl = java.time.Duration.ofHours(1))
+        .toDF()
+        .writeStream.format("memory").queryName("tws_dedup_ttl")
+        .outputMode(OutputMode.Append).start()
+      try {
+        inTtl.addData(meta("x", 0, 1), meta("x", 1, 2))
+        // NOTE: processAllAvailable() never settles here — in
+        // ProcessingTime mode the TWS operator keeps scheduling
+        // no-data batches to fire TTL expiry, so poll the sink instead
+        val deadline = System.currentTimeMillis() + 60000
+        def occ() = spark.table("tws_dedup_ttl")
+          .select("occurrence").as[Int].collect().sorted.toSeq
+        while (occ().size < 2 && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(occ() == Seq(1, 2))
+      } finally qTtl.stop()
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
