@@ -64,12 +64,27 @@ object ClipPipeline {
     }
 
   /** JVM twin of [[graft.functions.TextFunctions.normalizeTranscript]]
-    * (same regex semantics, asserted equal in tests).
+    * (same semantics, fuzz-asserted equal in PropertySpec).
+    *
+    * NOT `String.trim`: Java trim strips every char ≤ 0x20 while SQL
+    * `trim` (Spark AND DuckDB) strips only ' ' — an input edged with
+    * `\t\n\r\f` would diverge from the Catalyst/oracle pair (found by
+    * the property fuzz). Locale pinned to ROOT so a Turkish-locale
+    * host can't change İ/ı case mapping vs Spark's locale-insensitive
+    * `lower`.
     */
   def normalizeTranscriptJvm(s: String): String =
     if (s == null) ""
-    else s.trim.replaceAll("[ \\t\\n\\r\\f]+", " ")
-      .toLowerCase.replaceAll("\\.\\z", "")
+    else {
+      var b = 0
+      var e = s.length
+      while (b < e && s.charAt(b) == ' ') b += 1
+      while (e > b && s.charAt(e - 1) == ' ') e -= 1
+      s.substring(b, e)
+        .replaceAll("[ \\t\\n\\r\\f]+", " ")
+        .toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\.\\z", "")
+    }
 
   /** Deterministic timestamp-prefixed surrogate id (C3 analogue,
     * /root/reference/src/main/java/de/unimarburg/diz/labtofhir/util/TimestampPrefixedId.java:23-59).
