@@ -165,6 +165,55 @@ class StreamingSpec extends AnyFunSuite {
       ("s", 1, "s"), ("s", 2, "s_1"), ("s", 3, "s_2"), ("t", 1, "t")))
   }
 
+  test("transformWithState dedup state survives checkpoint restart (D7, RocksDB)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("tws_restart_").toString
+      val inDir = s"$base/in"
+      val ckpt = s"$base/ckpt"
+      def writeFile(rows: Seq[ClipMeta]): Unit =
+        rows.toDS().coalesce(1).write.mode("append").parquet(inDir)
+      val sink = new graft.sink.ExactlyOnceSink(s"$base/out", Seq("clip_id", "occurrence"))
+      def startQuery() = {
+        val clips = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[ClipMeta]].schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir)
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .withWatermark("event_time", "10 minutes")
+          .as[ClipMeta]
+        graft.streaming.TwsDedup.dedupStageTws(clips).toDF()
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => sink.write(df, id))
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
+      writeFile(Seq(meta("s", 0, 1), meta("s", 1, 2)))
+      val q1 = startQuery()
+      try q1.processAllAvailable()
+      finally q1.stop()
+      writeFile(Seq(meta("s", 3, 3), meta("t", 4, 4)))
+      val q2 = startQuery()
+      try q2.processAllAvailable()
+      finally q2.stop()
+      val rows = sink.readCommitted(spark)
+        .select("clip_id", "occurrence", "out_id")
+        .as[(String, Int, String)].collect().toSet
+      // occurrence 3 proves the RocksDB ValueState was restored from
+      // the checkpoint, not reset; one row per input proves no replays
+      assert(rows == Set(
+        ("s", 1, "s"), ("s", 2, "s_1"), ("s", 3, "s_2"), ("t", 1, "t")))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful dedup runs on the RocksDB state store provider (D5)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
