@@ -180,14 +180,27 @@ object Codecs {
     out
   }
 
-  def adpcmDecode(bytes: Array[Byte]): Array[Short] = {
+  /** Parse the 4-byte ADPCM header → (initial predictor, initial
+    * index, sample count). ONE implementation shared by the plain
+    * decoder and both fused kernels ([[summarize]], [[frameEnergies]])
+    * — the header is where a malformed payload turns into a negative
+    * sample count (header-only payload with the odd-parity bit set),
+    * and that check must not drift between the three loops.
+    */
+  private def adpcmHeader(bytes: Array[Byte]): (Int, Int, Int) = {
     require(bytes.length >= 4, s"adpcm payload too short: ${bytes.length}")
     var predictor = ((bytes(1) & 0xff) << 8) | (bytes(0) & 0xff)
     if ((predictor & 0x8000) != 0) predictor -= 0x10000
-    var index = clampIndex(bytes(2) & 0xff)
+    val index = clampIndex(bytes(2) & 0xff)
     val oddTail = (bytes(3) & 0x01) == 1
     val nPacked = (bytes.length - 4) * 2
     val n = if (oddTail) nPacked - 1 else nPacked
+    require(n >= 0, s"adpcm truncated payload: parity byte claims a sample beyond ${bytes.length} bytes")
+    (predictor, index, n)
+  }
+
+  def adpcmDecode(bytes: Array[Byte]): Array[Short] = {
+    var (predictor, index, n) = adpcmHeader(bytes)
     val out = new Array[Short](n)
     var i = 0
     while (i < n) {
@@ -303,13 +316,7 @@ object Codecs {
           var i = 0
           while (i < bytes.length) { acc(alawDecodeSample(bytes(i)).toInt); i += 1 }
         case "adpcm" =>
-          if (bytes.length < 4) return Left(s"adpcm payload too short: ${bytes.length}")
-          var predictor = ((bytes(1) & 0xff) << 8) | (bytes(0) & 0xff)
-          if ((predictor & 0x8000) != 0) predictor -= 0x10000
-          var index = clampIndex(bytes(2) & 0xff)
-          val oddTail = (bytes(3) & 0x01) == 1
-          val nPacked = (bytes.length - 4) * 2
-          val total = if (oddTail) nPacked - 1 else nPacked
+          var (predictor, index, total) = adpcmHeader(bytes)
           var i = 0
           while (i < total) {
             val raw = bytes(4 + (i >> 1)) & 0xff
@@ -379,13 +386,7 @@ object Codecs {
           var i = 0
           while (i < bytes.length) { acc(alawDecodeSample(bytes(i)).toInt); i += 1 }
         case "adpcm" =>
-          if (bytes.length < 4) return Left(s"adpcm payload too short: ${bytes.length}")
-          var predictor = ((bytes(1) & 0xff) << 8) | (bytes(0) & 0xff)
-          if ((predictor & 0x8000) != 0) predictor -= 0x10000
-          var index = clampIndex(bytes(2) & 0xff)
-          val oddTail = (bytes(3) & 0x01) == 1
-          val nPacked = (bytes.length - 4) * 2
-          val total = if (oddTail) nPacked - 1 else nPacked
+          var (predictor, index, total) = adpcmHeader(bytes)
           alloc(total)
           var i = 0
           while (i < total) {
@@ -403,7 +404,9 @@ object Codecs {
           }
         case other => return Left(s"unknown codec: $other")
       }
-      Right(energies)
+      // mirror summarize's F3 empty guard so the fused twins agree on
+      // every malformed/degenerate payload, not just well-formed ones
+      if (energies.isEmpty) Left("empty payload") else Right(energies)
     } catch {
       case e: Exception => Left(s"decode failure: ${e.getMessage}")
     }

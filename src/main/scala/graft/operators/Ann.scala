@@ -81,7 +81,12 @@ object Ann {
     val dims = corpus
       .select(col(clusterCol).as("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy("cluster", "dim")
-      .agg(sum((col("v").cast("double") * CentroidScale).cast("long")).as("s"),
+      // round BEFORE the long cast: Spark's double→long cast truncates
+      // while DuckDB's CAST rounds — identical only while v·2^46 is
+      // exactly integral (|v| ≥ 2^-23). An explicit round (both engines
+      // round half away from zero) keeps the sums equal even for a
+      // future table with sub-2^-23 components.
+      .agg(sum(round((col("v").cast("double") * CentroidScale)).cast("long")).as("s"),
         count(lit(1)).as("n"))
       .withColumn("m", col("s").cast("double") / CentroidScale / col("n"))
     val centroids = dims
@@ -196,6 +201,11 @@ object Ann {
     val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
       .withColumn("nb", normD(col("vb")))
     cand.join(va, "id_a").join(vb, "id_b")
+      // zero-norm guard: 0/0 is NaN, and Spark orders NaN ABOVE every
+      // double, so `cosine >= threshold` would emit an all-zero vector
+      // as a "near-duplicate" of anything sharing its all-zero bands
+      // (DuckDB returns NULL for 0/0 and drops it — divergence too)
+      .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("cosine", dotD(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

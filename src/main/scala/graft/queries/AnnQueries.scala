@@ -72,7 +72,7 @@ object AnnQueries {
              |    (CAST(qv[CAST(i AS INT)] AS DOUBLE) - centroid[CAST(i AS INT)])))""".stripMargin
         s"""WITH ex AS (
            |  SELECT label AS cluster, CAST(u.dim AS INT) AS dim,
-           |    CAST(CAST(embedding[CAST(u.dim + 1 AS INT)] AS DOUBLE) * $scale AS BIGINT) AS sv
+           |    CAST(round(CAST(embedding[CAST(u.dim + 1 AS INT)] AS DOUBLE) * $scale) AS BIGINT) AS sv
            |  FROM embeddings, LATERAL (SELECT unnest(range(0, 64)) AS dim) u),
            |cs AS (
            |  SELECT cluster, dim, CAST(SUM(sv) AS BIGINT) AS s, COUNT(*) AS n

@@ -89,11 +89,7 @@ object StreamQueries {
       (s, d) => {
         import s.implicits._
         StreamRunner.assertSingleBatchInput(s"$d/events.parquet")
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        graft.streaming.TwsDedup.withRocksDB(s) {
           val clips = metaProjection(
             StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
             .withColumn("event_time", col("event_time").cast("timestamp"))
@@ -103,11 +99,6 @@ object StreamQueries {
           StreamRunner.runToMemory(decided.toDF(), "append")
             .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
             .orderBy(col("clip_id"), col("occurrence"))
-        } finally {
-          prev match {
-            case Some(v) => s.conf.set(key, v)
-            case None    => s.conf.unset(key)
-          }
         }
       },
       Some(dedupOracleSql)),

@@ -55,6 +55,23 @@ class DedupProcessor(ttl: java.time.Duration)
 
 object TwsDedup {
 
+  /** Run `f` with the RocksDB state store provider set on the session
+    * (transformWithState is RocksDB-only), restoring the previous
+    * provider afterwards — one save/set/restore implementation for the
+    * query registry and every test.
+    */
+  def withRocksDB[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Streaming keyed dedup via `transformWithState` (RocksDB-backed).
     * `ttl = null` keeps state forever (event-time mode); a Duration
     * enables native per-value TTL inside the store — state TTL is

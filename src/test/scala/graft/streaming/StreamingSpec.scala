@@ -166,11 +166,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("transformWithState dedup state survives checkpoint restart (D7, RocksDB)") {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    graft.streaming.TwsDedup.withRocksDB(spark) {
       val base = java.nio.file.Files.createTempDirectory("tws_restart_").toString
       val inDir = s"$base/in"
       val ckpt = s"$base/ckpt"
@@ -206,20 +202,11 @@ class StreamingSpec extends AnyFunSuite {
       // the checkpoint, not reset; one row per input proves no replays
       assert(rows == Set(
         ("s", 1, "s"), ("s", 2, "s_1"), ("s", 3, "s_2"), ("t", 1, "t")))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
     }
   }
 
   test("stateful dedup runs on the RocksDB state store provider (D5)") {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    graft.streaming.TwsDedup.withRocksDB(spark) {
       val input = MemoryStream[ClipMeta](6, spark, None)
       val q = ClipPipeline
         .dedupStage(input.toDS().withWatermark("event_time", "10 minutes"))
@@ -239,11 +226,6 @@ class StreamingSpec extends AnyFunSuite {
         val sp = q.lastProgress.stateOperators
         assert(sp.nonEmpty)
       } finally q.stop()
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
     }
   }
 
@@ -270,11 +252,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("transformWithState dedup: numbering continues across batches, matches dedupStage semantics (D1)") {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    graft.streaming.TwsDedup.withRocksDB(spark) {
       val input = MemoryStream[ClipMeta](30, spark, None)
       val q = graft.streaming.TwsDedup
         .dedupStageTws(input.toDS().withWatermark("event_time", "10 minutes"))
@@ -318,11 +296,6 @@ class StreamingSpec extends AnyFunSuite {
           Thread.sleep(100)
         assert(occ() == Seq(1, 2))
       } finally qTtl.stop()
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
     }
   }
 
