@@ -412,6 +412,35 @@ object Codecs {
     }
   }
 
+  /** Linear-interpolation sample-rate conversion — the audio analogue
+    * of the multimodal "resize" op (uniform model-ingest rate for a
+    * training pipeline). Output length is the deterministic
+    * `floor((n_in − 1) · outRate / inRate) + 1` (SQL-expressible, so
+    * the q57 oracle can check it), output sample j interpolates the
+    * two input samples around position j·inRate/outRate. Position
+    * arithmetic is integer (j·inRate exact in Long), so results are
+    * bit-stable across platforms.
+    */
+  def resampleLinear(samples: Array[Float], inRate: Int,
+      outRate: Int): Array[Float] = {
+    require(inRate > 0 && outRate > 0, s"rates must be positive: $inRate→$outRate")
+    if (samples.isEmpty || inRate == outRate) return samples
+    val nOut = ((samples.length - 1).toLong * outRate / inRate).toInt + 1
+    val out = new Array[Float](nOut)
+    var j = 0
+    while (j < nOut) {
+      val num = j.toLong * inRate // exact integer position numerator
+      val i = (num / outRate).toInt
+      val frac = (num % outRate).toDouble / outRate
+      out(j) =
+        if (i + 1 < samples.length)
+          (samples(i) * (1.0 - frac) + samples(i + 1) * frac).toFloat
+        else samples(samples.length - 1)
+      j += 1
+    }
+    out
+  }
+
   /** Signal-to-noise ratio in dB of `decoded` against `original`. */
   def snrDb(original: Array[Float], decoded: Array[Float]): Double = {
     require(original.length == decoded.length, "length mismatch")

@@ -235,6 +235,35 @@ object ExtraQueries {
              |SELECT b,
              |  CAST(CASE WHEN usign != 0 THEN -us ELSE us END AS INT) AS ulaw_pcm,
              |  CAST(CASE WHEN asign = 0 THEN -as_ ELSE as_ END AS INT) AS alaw_pcm
-             |FROM law ORDER BY b""".stripMargin))
+             |FROM law ORDER BY b""".stripMargin)),
+
+    // ---------------- q57 resample to uniform model-ingest rate (resize)
+    // Audio "resize": every decodable clip linear-resampled to 16 kHz.
+    // The decoded and resampled LENGTHS are exact functions of the
+    // clip metadata (n_in = max(1, sr·dur/1000); n_out = (n_in−1)·
+    // 16000/sr + 1, integer division), so the oracle value-checks that
+    // the decode produced exactly the synthesized sample count and the
+    // resampler the exact target length; resampled PCM content is
+    // SNR-verified against an analytically generated target-rate
+    // signal in CodecsSpec.
+    QueryDef(
+      "q57_resample",
+      (s, d) => {
+        import s.implicits._
+        graft.streaming.ClipPipeline
+          .resampleStage(graft.synth.ClipGen.stagedClips(s, d), 16000)
+          .toDF("clip_id", "codec", "sr_hz", "n_in", "n_out", "rms")
+          .select(col("clip_id"), col("codec"), col("sr_hz"),
+            col("n_in"), col("n_out"))
+          .orderBy(col("clip_id"), col("codec"), col("sr_hz"), col("n_in"))
+      },
+      Some(s"""WITH clips AS (${graft.synth.ClipGen.metaSql}),
+              |m AS (
+              |  SELECT clip_id, codec, sr_hz,
+              |    CAST(GREATEST(1, (CAST(sr_hz AS BIGINT) * dur_ms) // 1000) AS INT) AS n_in
+              |  FROM clips WHERE codec <> 'unknown')
+              |SELECT clip_id, codec, sr_hz, n_in,
+              |  CAST((CAST(n_in - 1 AS BIGINT) * 16000) // sr_hz + 1 AS INT) AS n_out
+              |FROM m ORDER BY clip_id, codec, sr_hz, n_in""".stripMargin))
   )
 }

@@ -318,6 +318,30 @@ object ClipPipeline {
     }
   }
 
+  // ------------------------------------------------------ resample (resize)
+
+  /** Multimodal "resize" for audio: decode → linear resample to a
+    * uniform model-ingest rate → stats, one typed map (no intermediate
+    * column materialization). Output lengths are deterministic
+    * functions of the input metadata, so the q57 oracle value-checks
+    * them; resampled CONTENT is SNR-verified in CodecsSpec.
+    */
+  def resampleStage(clips: Dataset[Clip], targetRate: Int = 16000)
+      : Dataset[(String, String, Int, Int, Int, Double)] = {
+    import clips.sparkSession.implicits._
+    clips.flatMap { c =>
+      Codecs.decode(c.codec, c.bytes) match {
+        case Left(_) => Iterator.empty
+        case Right(s0) =>
+          val r = Codecs.resampleLinear(s0, c.sr_hz, targetRate)
+          var sumSq = 0.0
+          r.foreach(v => sumSq += v.toDouble * v)
+          val rms = if (r.isEmpty) 0.0 else math.sqrt(sumSq / r.length)
+          Iterator.single((c.clip_id, c.codec, c.sr_hz, s0.length, r.length, rms))
+      }
+    }
+  }
+
   // ------------------------------------------------------- window rollups
 
   /** Tumbling-window rollup per codec (A3/D4): clips, total duration.

@@ -142,6 +142,24 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.frameEnergies("ulaw", null, 10).isLeft)
   }
 
+  test("resampleLinear: content matches an analytically generated signal at the target rate") {
+    // a 200 Hz sine sampled at 8 kHz, upsampled 2× — linear
+    // interpolation of a smooth band-limited signal must approximate
+    // the directly synthesized 16 kHz sine closely
+    val f = 200.0
+    val in = Array.tabulate(8000)(i => math.sin(2 * math.Pi * f * i / 8000.0).toFloat)
+    val up = Codecs.resampleLinear(in, 8000, 16000)
+    assert(up.length == (in.length - 1) * 2 + 1)
+    val ref = Array.tabulate(up.length)(j => math.sin(2 * math.Pi * f * j / 16000.0).toFloat)
+    assert(Codecs.snrDb(ref, up) >= 30.0, s"SNR ${Codecs.snrDb(ref, up)}")
+    // identity when rates match; single-sample and downsample lengths
+    assert(Codecs.resampleLinear(in, 8000, 8000) eq in)
+    assert(Codecs.resampleLinear(Array(0.5f), 44100, 16000).toSeq == Seq(0.5f))
+    val down = Codecs.resampleLinear(in, 8000, 5000)
+    assert(down.length == (in.length - 1).toLong * 5000 / 8000 + 1)
+    intercept[IllegalArgumentException](Codecs.resampleLinear(in, 0, 16000))
+  }
+
   test("summarize rejects the same malformed payloads decode does") {
     assert(Codecs.summarize("mp3", Array[Byte](1)).isLeft)
     assert(Codecs.summarize("pcm16le", Array[Byte](1, 2, 3)).isLeft)
