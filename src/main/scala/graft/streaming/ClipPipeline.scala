@@ -330,14 +330,12 @@ object ClipPipeline {
       : Dataset[(String, String, Int, Int, Int, Double)] = {
     import clips.sparkSession.implicits._
     clips.flatMap { c =>
-      Codecs.decode(c.codec, c.bytes) match {
+      // fused decode→interpolate→rms (Codecs.resampleStats): neither
+      // the decoded nor the resampled sample array is materialized
+      Codecs.resampleStats(c.codec, c.bytes, c.sr_hz, targetRate) match {
         case Left(_) => Iterator.empty
-        case Right(s0) =>
-          val r = Codecs.resampleLinear(s0, c.sr_hz, targetRate)
-          var sumSq = 0.0
-          r.foreach(v => sumSq += v.toDouble * v)
-          val rms = if (r.isEmpty) 0.0 else math.sqrt(sumSq / r.length)
-          Iterator.single((c.clip_id, c.codec, c.sr_hz, s0.length, r.length, rms))
+        case Right((nIn, nOut, rms)) =>
+          Iterator.single((c.clip_id, c.codec, c.sr_hz, nIn, nOut, rms))
       }
     }
   }

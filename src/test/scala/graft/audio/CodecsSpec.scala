@@ -160,6 +160,27 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Codecs.resampleLinear(in, 0, 16000))
   }
 
+  test("fused resampleStats is bit-identical to decode + resampleLinear + rms (all codecs, up/down/same rate)") {
+    for {
+      codec <- Seq("pcm16le", "ulaw", "alaw", "adpcm")
+      seed <- 0L to 4L
+      (inRate, outRate) <- Seq((8000, 16000), (44100, 16000), (16000, 16000), (8000, 5000))
+    } {
+      val samples = graft.synth.ClipGen.samplesFor(seed, inRate, 173)
+      val bytes = Codecs.encode(codec, samples)
+      val (nIn, nOut, rms) = Codecs.resampleStats(codec, bytes, inRate, outRate).toOption.get
+      val dec = Codecs.decode(codec, bytes).toOption.get
+      val r = Codecs.resampleLinear(dec, inRate, outRate)
+      assert(nIn == dec.length, s"$codec/$seed/$inRate→$outRate nIn")
+      assert(nOut == r.length, s"$codec/$seed/$inRate→$outRate nOut")
+      var sumSq = 0.0
+      r.foreach(v => sumSq += v.toDouble * v)
+      assert(rms == math.sqrt(sumSq / r.length), s"$codec/$seed/$inRate→$outRate rms")
+    }
+    assert(Codecs.resampleStats("mp3", Array[Byte](1), 8000, 16000).isLeft)
+    assert(Codecs.resampleStats("ulaw", Array.empty[Byte], 8000, 16000).isLeft)
+  }
+
   test("summarize rejects the same malformed payloads decode does") {
     assert(Codecs.summarize("mp3", Array[Byte](1)).isLeft)
     assert(Codecs.summarize("pcm16le", Array[Byte](1, 2, 3)).isLeft)
