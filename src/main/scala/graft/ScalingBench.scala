@@ -144,6 +144,32 @@ object ScalingBench {
     (tLo / tHi) / (hi.toDouble / lo)
   }
 
+  /** A raw ceiling probe outside this band is a corrupted measurement,
+    * not a property of the machine: a pure-CPU job on an idle-ish box
+    * cannot genuinely scale below 0.5 across a 4× core spread, and
+    * anything above 1.25 is super-linear timer noise. (0.70–0.98
+    * observed across rounds on this sandbox; a 0.27 once recorded by a
+    * neighbor-load burst poisoned the round-2 artifact of record.)
+    */
+  private[graft] def ceilingPlausible(c: Double): Boolean = c >= 0.5 && c <= 1.25
+
+  /** Ceiling probe with rejection + re-run: up to `maxTries` probes,
+    * first plausible one wins. Returns (raw ceiling, tries, valid).
+    */
+  private def measureCeiling(lo: Int, hi: Int, maxTries: Int = 3): (Double, Int, Boolean) = {
+    var tries = 0
+    var c = 0.0
+    var ok = false
+    while (tries < maxTries && !ok) {
+      c = machineCeiling(lo, hi)
+      tries += 1
+      ok = ceilingPlausible(c)
+      if (!ok) System.err.println(
+        f"[scaling] ceiling probe $tries measured $c%.3f outside [0.5, 1.25] — corrupted window, re-running")
+    }
+    (c, tries, ok)
+  }
+
   /** The scaling-evidence JSON block embedded in the per-round bench
     * artifact (`Bench` calls this, so `BENCH_r*.json` records the SAME
     * methodology as this harness — work_scale×reps sized so per-core
@@ -151,34 +177,48 @@ object ScalingBench {
     * recorded an overhead-dominated 0.587 that failed the ≥0.8 gate the
     * dedicated harness passes).
     *
-    * Robustness choices, all recorded in the output:
+    * Robustness choices, all recorded in the output (hardened after
+    * the round-2 artifact recorded a corrupted 0.27 ceiling probe —
+    * and the normalized 2.899 it implied — as the headline number):
     *  - lo=6 / hi=24 (not 7/28): the 32-core VM needs headroom for GC
     *    and Spark daemon threads; at hi=28 the high-parallelism run is
     *    partially self-contended and under-reports the engine.
-    *  - the pure-CPU ceiling is clamped at 1.0 (a measured super-linear
-    *    ceiling is timer noise; clamping only lowers normalized —
-    *    conservative).
-    *  - TWO full passes of (ceiling, lo, hi) back-to-back; the better
-    *    pass is reported and BOTH appear under `attempts` — a
-    *    neighbor-load burst on this shared host corrupts one
-    *    measurement window, not the machine's actual scaling.
+    *  - a ceiling probe outside [0.5, 1.25] is REJECTED and re-run (up
+    *    to 3 probes per pass); a pass whose every probe is implausible
+    *    is recorded but marked `"valid":false` and never reported as
+    *    the headline.
+    *  - the ceiling is clamped at ≤1.0 AND `normalized_efficiency` is
+    *    clamped at ≤1.0 — no value in the block can exceed 1.0 (an
+    *    engine cannot scale better than perfectly; anything above is
+    *    measurement noise and must not flatter the gate).
+    *  - TWO full passes of (ceiling, lo, hi) back-to-back, BOTH under
+    *    `attempts`; the headline pass is selected by RAW efficiency
+    *    (ties → higher ceiling), never by normalized — selecting by
+    *    normalized would prefer exactly the passes whose ceiling probe
+    *    was depressed by neighbor load.
     */
   def scalingEvidence(sfDir: String, lo: Int = 6, hi: Int = 24,
       reps: Int = 3, workScale: Int = 6, passes: Int = 2): String = {
-    final case class Pass(ceilRaw: Double, tLo: Double, tHi: Double) {
+    final case class Pass(ceilRaw: Double, ceilTries: Int, valid: Boolean,
+        tLo: Double, tHi: Double) {
       val ceil: Double = math.min(ceilRaw, 1.0)
       val raw: Double = (tLo / tHi) / (hi.toDouble / lo)
-      val norm: Double = raw / ceil
-      val score: Double = math.max(raw, norm)
+      val norm: Double = math.min(raw / ceil, 1.0)
     }
     val ps = (1 to passes).map { _ =>
-      val c = machineCeiling(lo, hi)
-      Pass(c, runBatch(lo, sfDir, reps, workScale),
+      val (c, tries, ok) = measureCeiling(lo, hi)
+      Pass(c, tries, ok, runBatch(lo, sfDir, reps, workScale),
         runBatch(hi, sfDir, reps, workScale))
     }
-    val best = ps.maxBy(_.score)
+    // headline = best RAW among valid passes (raw is the conservative,
+    // un-normalized signal; ceiling only breaks ties). Valid-pass
+    // filtering can only fail open to "all passes" if every probe on
+    // the box was implausible — then the least-implausible is reported
+    // and the `valid` flags in `attempts` show the gate was not met.
+    val pool = if (ps.exists(_.valid)) ps.filter(_.valid) else ps
+    val best = pool.maxBy(p => (p.raw, p.ceil))
     val attempts = ps.map(p =>
-      f"""{"raw":${p.raw}%.3f,"ceiling":${p.ceil}%.3f,"normalized":${p.norm}%.3f,"sec_lo":${p.tLo}%.2f,"sec_hi":${p.tHi}%.2f}""")
+      f"""{"raw":${p.raw}%.3f,"ceiling":${p.ceil}%.3f,"ceiling_raw":${p.ceilRaw}%.3f,"ceiling_probe_tries":${p.ceilTries},"valid":${p.valid},"normalized":${p.norm}%.3f,"sec_lo":${p.tLo}%.2f,"sec_hi":${p.tHi}%.2f}""")
       .mkString("[", ",", "]")
     f"""{"cpus_lo":$lo,"cpus_hi":$hi,"work_scale":$workScale,"reps":$reps,"sec_lo":${best.tLo}%.2f,"sec_hi":${best.tHi}%.2f,"raw_efficiency":${best.raw}%.3f,"machine_cpu_ceiling":${best.ceil}%.3f,"machine_cpu_ceiling_raw":${best.ceilRaw}%.3f,"normalized_efficiency":${best.norm}%.3f,"attempts":$attempts}"""
   }
@@ -203,7 +243,10 @@ object ScalingBench {
       try ClipGen.stagedClips(pre, sfDir).count()
       finally pre.stop()
 
-    val ceiling = math.min(machineCeiling(lo, hi), 1.0) // super-linear = noise; clamp is conservative
+    // same hardened probe + clamps as scalingEvidence: reject corrupted
+    // ceiling windows, nothing in the output may exceed 1.0
+    val (ceilRaw, _, ceilValid) = measureCeiling(lo, hi)
+    val ceiling = math.min(ceilRaw, 1.0)
     val tLo = runBatch(lo, sfDir, reps, workScale)
     val tHi = runBatch(hi, sfDir, reps, workScale)
     val latLo = runStreamLatencies(lo, sfDir)
@@ -214,8 +257,8 @@ object ScalingBench {
     val thLo = nClips.toDouble * workScale / tLo
     val thHi = nClips.toDouble * workScale / tHi
     val eff = (tLo / tHi) / (hi.toDouble / lo)
-    val norm = eff / ceiling
+    val norm = math.min(eff / ceiling, 1.0)
     println(
-      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","machine_cpu_ceiling":$ceiling%.3f,"normalized_efficiency":$norm%.3f,"sf":"$sfDir","n_clips":$nClips,"work_scale":$workScale,"cpus_lo":$lo,"cpus_hi":$hi,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,"clips_per_sec_lo":$thLo%.1f,"clips_per_sec_hi":$thHi%.1f,"stream_p99_batch_ms_lo":${p99(latLo)}%.0f,"stream_p99_batch_ms_hi":${p99(latHi)}%.0f}""")
+      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","machine_cpu_ceiling":$ceiling%.3f,"machine_cpu_ceiling_raw":$ceilRaw%.3f,"ceiling_valid":$ceilValid,"normalized_efficiency":$norm%.3f,"sf":"$sfDir","n_clips":$nClips,"work_scale":$workScale,"cpus_lo":$lo,"cpus_hi":$hi,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,"clips_per_sec_lo":$thLo%.1f,"clips_per_sec_hi":$thHi%.1f,"stream_p99_batch_ms_lo":${p99(latLo)}%.0f,"stream_p99_batch_ms_hi":${p99(latHi)}%.0f}""")
   }
 }

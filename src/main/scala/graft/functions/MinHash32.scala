@@ -136,6 +136,11 @@ object MinHash32 {
       else
         throw new IllegalArgumentException(
           s"minhash32(arr, k): k must be a foldable integral expression, got $kExpr")
+    // positivity checked at ANALYSIS time like the other guards — a
+    // negative k would otherwise surface as a runtime
+    // NegativeArraySizeException inside evalArray, and k = 0 would
+    // silently return empty signatures
+    require(k > 0, s"minhash32(arr, k): k must be positive, got $k")
     MinHash32(exprs.head, k)
   }
 

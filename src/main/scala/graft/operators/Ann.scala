@@ -204,7 +204,9 @@ object Ann {
       // zero-norm guard: 0/0 is NaN, and Spark orders NaN ABOVE every
       // double, so `cosine >= threshold` would emit an all-zero vector
       // as a "near-duplicate" of anything sharing its all-zero bands
-      // (DuckDB returns NULL for 0/0 and drops it — divergence too)
+      // (DuckDB's IEEE 0/0 is NaN too, and NaN compares greater — the
+      // q47 oracle mirrors this guard explicitly so both engines drop
+      // zero-norm vectors the same way)
       .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("cosine", dotD(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)

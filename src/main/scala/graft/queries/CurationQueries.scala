@@ -60,7 +60,8 @@ object CurationQueries {
            |      (${vnormSql("ea.embedding")} * ${vnormSql("eb.embedding")}) AS raw
            |  FROM cand
            |  JOIN embeddings ea ON ea.vec_id = cand.id_a
-           |  JOIN embeddings eb ON eb.vec_id = cand.id_b)
+           |  JOIN embeddings eb ON eb.vec_id = cand.id_b
+           |  WHERE ${vnormSql("ea.embedding")} > 0 AND ${vnormSql("eb.embedding")} > 0)
            |SELECT id_a, id_b, round(raw, 6) AS cosine FROM pr WHERE raw >= 0.2
            |ORDER BY id_a, id_b""".stripMargin
       }),

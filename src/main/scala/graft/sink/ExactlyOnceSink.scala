@@ -97,10 +97,14 @@ class ExactlyOnceSink(outDir: String, orderCols: Seq[String]) extends Serializab
           .filter(_.getFileName.toString.startsWith("part-"))
         finally stream.close()
       val conf = spark.sessionState.newHadoopConf()
-      files.map { f =>
-        // part-%05d-… but ≥100000 partitions widens the field: take digits
-        val pid = f.getFileName.toString.stripPrefix("part-")
-          .takeWhile(_.isDigit).toInt
+      files.sortBy(_.getFileName.toString).zipWithIndex.map { case (f, seq) =>
+        // part-%05d-… but ≥100000 partitions widens the field: take digits.
+        // A committer emitting a non-standard name (e.g. part-r-00000)
+        // yields no digits — fall back to the sorted sequence index
+        // rather than failing the whole batch for a lineage nicety.
+        val digits = f.getFileName.toString.stripPrefix("part-")
+          .takeWhile(_.isDigit)
+        val pid = if (digits.nonEmpty) digits.toInt else seq
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(f.toUri), conf))

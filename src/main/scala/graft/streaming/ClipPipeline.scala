@@ -116,6 +116,16 @@ object ClipPipeline {
     * query with the decode reason. The failure budget is counted per
     * task (the Spark analogue of the reference's per-client shutdown);
     * `maxFailures = 0` means the first poison record anywhere halts.
+    *
+    * Budget caveats (by design, documented rather than papered over):
+    * the per-task counter resets on task retry and on micro-batch
+    * replay after a restart, so across retries the EFFECTIVE tolerated
+    * count can exceed `maxFailures`; and within-budget malformed rows
+    * are silently skipped here — they leave no quarantine record. A
+    * pipeline that needs an audit trail of skips must run the default
+    * [[decodeStage]] + [[quarantineStage]] pair (skips become a
+    * queryable table) and reserve strict mode for fail-fast ingestion
+    * where any poison record should stop the world, `maxFailures = 0`.
     */
   def decodeStageStrict(clips: Dataset[Clip],
       maxFailures: Long = 0L): Dataset[MappedClip] = {
