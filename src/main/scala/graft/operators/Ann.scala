@@ -32,9 +32,39 @@ object Ann {
   def norms(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol), round(normD(col(vecCol)), 6).as("l2_norm"))
 
+  /** Rank the `scored` (query_id, neighbor_id, cosine[, cluster])
+    * rows down to the top `k` per query via the two-phase
+    * [[TopKHits]] aggregator: map-side partials keep ≤ 2k candidates
+    * per query, the exchange carries ≤ 2k·nPartitions rows per query,
+    * and the final merge ranks those survivors — never a per-query
+    * single-reducer sort of the full score list. The ObjectHashAgg
+    * group-count fallback threshold is raised so a realistic query
+    * batch (thousands of query_ids per partition) stays on the
+    * hash-map partial path; the sort-based fallback would still be
+    * distributed and correct, just slower.
+    */
+  private def rankTopK(scored: DataFrame, k: Int, withCluster: Boolean): DataFrame = {
+    scored.sparkSession.conf
+      .set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    val clusterCol =
+      if (withCluster) col("cluster") else lit(-1)
+    val hits = TopKHits.udafColumn(k)(
+      col("neighbor_id"), col("cosine"), clusterCol)
+    val base = scored
+      .groupBy(col("query_id"))
+      .agg(hits.as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "h")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("h.neighbor_id").as("neighbor_id"),
+        round(col("h.cosine"), 6).as("cosine"),
+        col("h.cluster").as("cluster"))
+    if (withCluster) base else base.drop("cluster")
+  }
+
   /** Brute-force cosine top-k: every (query, corpus) pair scored, then
-    * `row_number` per query. Queries are broadcast; ranking tiebreak on
-    * corpus id keeps the result deterministic.
+    * a distributed two-phase top-k per query ([[rankTopK]]). Queries
+    * are broadcast; ranking tiebreak on corpus id keeps the result
+    * deterministic.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
@@ -49,13 +79,7 @@ object Ann {
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dotD(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+    rankTopK(scored, k, withCluster = false)
   }
 
   /** Fixed-point scale for exact centroid sums: float32 has a 24-bit
@@ -114,12 +138,7 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dotD(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("cluster"))
+    rankTopK(scored, k, withCluster = true)
   }
 
   /** plane(b)[d] = (md5("b:d") first 4 hex as int) / 2^16 - 0.5.

@@ -259,4 +259,31 @@ class OperatorsSpec extends AnyFunSuite {
       .select("neighbor_id").as[Long].head()
     assert(top == 2L)
   }
+
+  test("TopKHits partial buffers stay k-bounded (shuffle carries <=2k rows/query/partition)") {
+    val agg = new TopKHits(5)
+    var buf = agg.zero
+    (1 to 1000).foreach { i =>
+      buf = agg.reduce(buf, ScoredHit(i.toLong, i / 1000.0, -1))
+      assert(buf.length <= 10, s"buffer ${buf.length} exceeded 2k after $i rows")
+    }
+    // merge keeps the bound too, and loses none of the true top-k
+    var other = agg.zero
+    (1001 to 1400).foreach(i => other = agg.reduce(other, ScoredHit(i.toLong, i / 1000.0, -1)))
+    val merged = agg.merge(buf, other)
+    assert(merged.length <= 10)
+    assert(agg.finish(merged).map(_.neighbor_id) ==
+      Seq(1400L, 1399L, 1398L, 1397L, 1396L))
+  }
+
+  test("TopKHits ordering matches the window it replaced: NaN ranks above all, ties by id asc") {
+    val agg = new TopKHits(3)
+    val hits = Seq(
+      ScoredHit(7L, Double.NaN, -1), ScoredHit(3L, 0.9, -1),
+      ScoredHit(5L, 0.9, -1), ScoredHit(1L, 0.2, -1))
+    val out = agg.finish(hits.foldLeft(agg.zero)(agg.reduce))
+    // Spark's desc and DuckDB's ORDER BY DESC both place NaN first;
+    // equal cosines break by neighbor_id ascending
+    assert(out.map(_.neighbor_id) == Seq(7L, 3L, 5L))
+  }
 }

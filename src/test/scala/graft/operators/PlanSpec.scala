@@ -66,6 +66,30 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.count() < clips.count() / 10)
   }
 
+  test("ann top-k plans as two-phase aggregation — no per-query window sort (q36/q37 at 100 TB)") {
+    // the old shape shuffled every scored (query, candidate) row to the
+    // one task owning that query_id and sorted the full score list
+    // there (Window.partitionBy(query_id)); the aggregator shape keeps
+    // partial top-k map-side, so the exec plan must carry an
+    // ObjectHashAggregate pair and no Window node at all
+    val q36 = graft.SparkEntry.queries("q36_cosine_topk")(spark, "/root/testdata/sf0.001")
+    val plan36 = formatted(q36)
+    assert(!plan36.contains("Window"), s"q36 must not rank via window:\n$plan36")
+    assert(plan36.contains("ObjectHashAggregate"), plan36)
+
+    // q37 keeps one legitimate window: centroid ROUTING over
+    // (queries × clusters) — a broadcast-sized input. The RANKING over
+    // scored members must still be the aggregator.
+    val q37 = graft.SparkEntry.queries("q37_ann_ivf")(spark, "/root/testdata/sf0.001")
+    val plan37 = formatted(q37)
+    assert(plan37.contains("ObjectHashAggregate"), plan37)
+    // no window may rank by cosine — only the dist2 routing window
+    // (broadcast-sized queries × clusters input) is allowed
+    val cosineWindow = plan37.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && l.contains("cosine"))
+    assert(!cosineWindow, s"q37 final rank must not be a per-query window:\n$plan37")
+  }
+
   test("bucketed tables join WITHOUT a shuffle (co-located join for 100 TB fact-fact joins)") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {
