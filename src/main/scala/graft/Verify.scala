@@ -19,6 +19,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // stage the clip table (and its expected-stat side table, which the
+    // substituted p01 oracle reads) up front so the dump below never
+    // depends on which query touches it first
+    synth.ClipGen.stagedClips(spark, sfDir).head(1)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -38,8 +42,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the oracle SQL map is static text; the one sf-dependent piece —
+    // the staged expected-stat side table p01 joins against — is baked
+    // in here at dump time (absolute path, same machine as the DuckDB
+    // gate that reads this file)
+    val expectedPath = synth.ClipGen.clipsExpectedPath(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__CLIPS_EXPECTED__", expectedPath))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -14,9 +14,16 @@ object ClipQueries {
 
   val defs: Seq[QueryDef] = Seq(
     // ---------------------------------------- p01 full decode pipeline
-    // Audio payload decode is pure-JVM (not SQL-expressible) → rows-only
-    // check here; SNR-based decode correctness is asserted in CodecsSpec
-    // and PipelineSpec.
+    // Fully value-oracled: the metadata half (ids, codec, n_samples,
+    // transcript) re-derives in pure SQL from `events` (the p02 trick),
+    // and the PCM-statistic half (rms, peak, zero_crossings, clipped)
+    // checks against the generator-side ground truth the staging step
+    // materializes with the INDEPENDENT decoder (table-driven G.711 +
+    // standalone stats pass — ClipGen.clipsExpectedPath). The
+    // `__CLIPS_EXPECTED__` token is substituted with the staged side
+    // table's absolute path by Verify at dump time (the only
+    // sf-dependent piece of an otherwise static SQL string). SNR-based
+    // decode correctness is additionally asserted in CodecsSpec.
     QueryDef(
       "p01_decode_full",
       (s, d) => {
@@ -30,10 +37,25 @@ object ClipQueries {
             col("pcm.zero_crossings").as("zero_crossings"),
             col("pcm.clipped").as("clipped"),
             col("transcript_norm"), col("n_tokens"), col("event_time"))
-        // rows-only check (no oracle) → no global sort needed; a range
-        // sort here would re-execute the decode for partition sampling
+          .orderBy(col("out_id"), col("clip_id"))
       },
-      None),
+      Some {
+        val norm = TextQueries.normSql("c.transcript")
+        s"""WITH clips AS (${ClipGen.metaSql}),
+           |exp AS (SELECT * FROM read_parquet('__CLIPS_EXPECTED__/*.parquet'))
+           |SELECT c.clip_id,
+           |  substr(lower(to_hex(epoch_ms(c.event_time))) || '-' || sha256(c.clip_id || '|' || c.codec), 1, 64) AS out_id,
+           |  c.sr_hz, c.dur_ms, c.codec,
+           |  CAST((CAST(c.sr_hz AS BIGINT) * c.dur_ms) // 1000 AS INT) AS n_samples,
+           |  e.rms, e.peak, e.zero_crossings, e.clipped,
+           |  $norm AS transcript_norm,
+           |  CASE WHEN length($norm) = 0 THEN 0
+           |       ELSE len(string_split($norm, ' ')) END AS n_tokens,
+           |  c.event_time
+           |FROM clips c JOIN exp e ON e.clip_id = c.clip_id AND e.event_time = c.event_time
+           |WHERE c.codec <> 'unknown'
+           |ORDER BY out_id, c.clip_id""".stripMargin
+      }),
 
     // -------------------------- p02 decode metadata (oracle-verified)
     // The SQL-expressible slice of the decode output: proves the decoder

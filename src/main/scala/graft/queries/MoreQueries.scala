@@ -252,9 +252,14 @@ object MoreQueries {
     // ---------------- s08 streaming HLL distinct rollup (A3 approx path)
     // approx_count_distinct (HyperLogLog++) per tumbling window — the
     // sketch survives partial aggregation so distinct counting is one
-    // exchange of sketches, not rows. HLL estimates are
-    // engine-specific → rows-only check; exact distinct is oracled in
-    // q14/p04.
+    // exchange of sketches, not rows; at 100 TB the sketch IS the
+    // operator and the collect_set twin below is oracle-only scaffolding
+    // (it would not ship at scale). The HLL estimate itself is
+    // engine-specific, so the oracled columns are the EXACT distinct
+    // count (DuckDB re-derives it) and `hll_ok` — the estimate landing
+    // within 3·rsd of exact, which DuckDB asserts as literal TRUE, so a
+    // drifting sketch hash-fails the row. Estimate accuracy is
+    // additionally bounded value-by-value in StreamingSpec.
     QueryDef(
       "s08_stream_distinct",
       (s, d) => {
@@ -265,13 +270,24 @@ object MoreQueries {
           .withWatermark("event_time", "1 hour")
           .groupBy(window(col("event_time"), "1 day"), col("codec"))
           .agg(count(lit(1)).as("n_clips"),
-            approx_count_distinct(col("clip_id")).as("approx_distinct_clips"))
+            size(collect_set(col("clip_id"))).cast("long").as("n_distinct_exact"),
+            approx_count_distinct(col("clip_id")).as("est"))
           .select(col("window.start").cast("timestamp_ntz").as("window_start"),
-            col("codec"), col("n_clips"), col("approx_distinct_clips"))
+            col("codec"), col("n_clips"), col("n_distinct_exact"),
+            // default HLL++ rsd is 0.05; 3σ plus an absolute floor of 2
+            // for tiny windows keeps the bound tight but never flaky
+            (abs(col("est") - col("n_distinct_exact")) <=
+              greatest(lit(2.0), col("n_distinct_exact") * lit(0.15)))
+              .as("hll_ok"))
         StreamRunner.runToMemory(rolled, "complete")
           .orderBy(col("window_start"), col("codec"))
       },
-      None),
+      Some(s"""WITH clips AS (${ClipGen.metaSql})
+              |SELECT make_timestamp((epoch_us(event_time) // 86400000000) * 86400000000) AS window_start,
+              |  codec, COUNT(*) AS n_clips,
+              |  CAST(COUNT(DISTINCT clip_id) AS BIGINT) AS n_distinct_exact,
+              |  TRUE AS hll_ok
+              |FROM clips GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ---------------------------- s06 streaming sliding-window rollup (D4)
     QueryDef(

@@ -148,10 +148,29 @@ object ClipGen {
     * a stale cache (source regenerated, or a different dataset sharing
     * the basename) must re-stage, not silently serve old rows.
     */
+  /** Bump when the synthesis/encode/expected-stat derivation changes:
+    * the fingerprint only watches the SOURCE table, so without a code
+    * version a staged copy built by older synth code would be served
+    * as "fresh" forever.
+    */
+  private val SynthVersion = "synth-v2"
+
   def sourceFingerprint(sfDir: String): String = {
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    s"${sfDir}|${java.nio.file.Files.size(src)}|${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+    s"${sfDir}|${java.nio.file.Files.size(src)}|${java.nio.file.Files.getLastModifiedTime(src).toMillis}|$SynthVersion"
   }
+
+  /** Side table written at staging time next to the clip table:
+    * per-clip EXPECTED decode statistics computed by the independent
+    * decoder ([[graft.audio.IndependentDecoder]] — table-driven G.711,
+    * ByteBuffer PCM) + a standalone stats pass, NOT by the engine's
+    * fused [[graft.audio.Codecs.summarize]] hot path. The p01 oracle
+    * joins this against the pure-SQL events derivation, so the fused
+    * distributed decode is value-checked end-to-end against
+    * generator-side ground truth (VERDICT r2 "What's missing #3").
+    */
+  def clipsExpectedPath(sfDir: String): String =
+    clipsTablePath(sfDir) + "_expected"
 
   def stagedClips(spark: SparkSession, sfDir: String): Dataset[Clip] = {
     import spark.implicits._
@@ -167,6 +186,30 @@ object ClipGen {
         .write.mode("overwrite")
         .option("parquet.block.size", (16 * 1024 * 1024).toString)
         .parquet(dir)
+      // expected-stat side table (independent decoder ground truth for
+      // the p01 oracle); written BEFORE the marker so a crash between
+      // the two re-stages both. Rounding goes through Spark's round()
+      // so the engine output and the expectation share one rounding
+      // implementation (HALF_UP on the decimal rendering).
+      import org.apache.spark.sql.functions.{col, round}
+      clips(spark, sfDir)
+        .flatMap { c =>
+          if (c.codec == "unknown") None // quarantine path: no decode truth
+          else {
+            val st = graft.audio.IndependentDecoder.stats(
+              graft.audio.IndependentDecoder.decode(c.codec, c.bytes))
+            Some((c.clip_id, c.event_time, st.n, st.rms, st.peak,
+              st.zeroCrossings, st.clipped))
+          }
+        }
+        .toDF("clip_id", "event_time", "n_samples", "rms_raw", "peak_raw",
+          "zero_crossings", "clipped")
+        .select(col("clip_id"), col("event_time"), col("n_samples"),
+          round(col("rms_raw"), 4).as("rms"),
+          round(col("peak_raw"), 4).as("peak"),
+          col("zero_crossings"), col("clipped"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(clipsExpectedPath(sfDir))
       java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
     }
     spark.read.parquet(dir).as[Clip]

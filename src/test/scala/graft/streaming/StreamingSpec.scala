@@ -441,6 +441,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(totalEnergy - expected) < 1e-9)
   }
 
+  test("approx_count_distinct stays within 3·rsd of exact per window (s08 HLL bound)") {
+    // the oracled s08 row only asserts the boolean hll_ok; this bounds
+    // the raw estimates value-by-value on the same windowed grouping
+    val clips = graft.synth.ClipGen.clipsMeta(spark, "/root/testdata/sf0.001")
+    val r = clips
+      .groupBy(window(col("event_time").cast("timestamp"), "1 day"), col("codec"))
+      .agg(countDistinct(col("clip_id")).as("exact"),
+        approx_count_distinct(col("clip_id")).as("est"))
+      .select("exact", "est").as[(Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (exact, est) =>
+      assert(math.abs(est - exact) <= math.max(2.0, 0.15 * exact),
+        s"HLL estimate $est too far from exact $exact")
+    }
+  }
+
   test("decode stage drops undecodable clips and keeps SNR ≥ 30 dB (M4/F4)") {
     import graft.model.Clip
     import graft.audio.Codecs
