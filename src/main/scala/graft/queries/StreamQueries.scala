@@ -103,6 +103,68 @@ object StreamQueries {
       },
       Some(dedupOracleSql)),
 
+    // ---------------- s11 keyed dedup across THREE micro-batches (D1)
+    // The incremental-arrival case the single-batch queries can't
+    // exercise: event_id % 3 splits events into three files processed
+    // as three micro-batches (StreamRunner.eventsBatchesDir; the query
+    // REQUIRES exactly 3 input batches). The oracle reproduces the
+    // full schedule in SQL, including Spark's one-batch watermark LAG:
+    // the late filter of batch N uses the watermark recorded in batch
+    // N−1's offset metadata, i.e. max event time through batch N−2
+    // minus the delay (verified against the FlatMapGroupsWithState
+    // exec's lateEvents/eviction watermark pair). So batch-1 rows are
+    // numbered in event-time order; batch-2 rows ALL survive (their
+    // late-filter watermark predates any data) and continue each key's
+    // numbering; batch-3 rows survive only if strictly newer than
+    // max(batch-1 event_time) − 12 h (boundary pinned in
+    // LateBoundarySpec: at-watermark rows drop) and continue the
+    // numbering — dropped rows consume no occurrence. The 12 h delay
+    // (vs 10 min elsewhere) keeps both drops AND survivors non-empty
+    // at every test scale. State TTL sits far beyond the stream span
+    // so eviction-renumbering (covered by StreamingSpec) stays out of
+    // the oracle's scope.
+    QueryDef(
+      "s11_stream_dedup_multibatch",
+      (s, d) => {
+        import s.implicits._
+        val dir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, dir, eventsSchema,
+            maxFilesPerTrigger = Some(1)))
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .withWatermark("event_time", "12 hours")
+          .as[ClipMeta]
+        val decided = ClipPipeline.dedupStage(clips,
+          stateTtlMs = 1000L * 86400 * 365)
+        val (table, batches) =
+          StreamRunner.runToMemoryCounted(decided.toDF(), "append")
+        require(batches == 3,
+          s"s11 oracle models exactly 3 input micro-batches, got $batches")
+        table
+          .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
+          .orderBy(col("clip_id"), col("occurrence"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql}),
+              |r0 AS (SELECT clip_id, event_time, transcript,
+              |    CAST(row_number() OVER (PARTITION BY clip_id ORDER BY event_time, event_id) AS INT) AS occ
+              |  FROM clips WHERE event_id % 3 = 0),
+              |k0 AS (SELECT clip_id, COUNT(*) AS n FROM r0 GROUP BY clip_id),
+              |r1 AS (SELECT c.clip_id, c.event_time, c.transcript,
+              |    CAST(row_number() OVER (PARTITION BY c.clip_id ORDER BY c.event_time, c.event_id) + COALESCE(k0.n, 0) AS INT) AS occ
+              |  FROM clips c LEFT JOIN k0 ON c.clip_id = k0.clip_id
+              |  WHERE c.event_id % 3 = 1),
+              |k01 AS (SELECT clip_id, COUNT(*) AS n FROM clips WHERE event_id % 3 IN (0, 1) GROUP BY clip_id),
+              |wm AS (SELECT max(event_time) - INTERVAL 12 HOUR AS w FROM clips WHERE event_id % 3 = 0),
+              |r2 AS (SELECT c.clip_id, c.event_time, c.transcript,
+              |    CAST(row_number() OVER (PARTITION BY c.clip_id ORDER BY c.event_time, c.event_id) + COALESCE(k01.n, 0) AS INT) AS occ
+              |  FROM clips c LEFT JOIN k01 ON c.clip_id = k01.clip_id
+              |  WHERE c.event_id % 3 = 2 AND c.event_time > (SELECT w FROM wm)),
+              |u AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+              |SELECT clip_id, occ AS occurrence,
+              |  CASE WHEN occ = 1 THEN clip_id ELSE clip_id || '_' || (occ - 1) END AS out_id,
+              |  occ > 1 AS is_dup, event_time, transcript
+              |FROM u ORDER BY clip_id, occurrence""".stripMargin)),
+
     // ----------------------------- s03 stream-stream interval join (J3)
     QueryDef(
       "s03_stream_join",

@@ -81,6 +81,52 @@ object StreamRunner {
     }
   }
 
+  /** Stage `events.parquet` as `n` parquet files split by
+    * `event_id % n`, with strictly increasing mtimes, so a
+    * `maxFilesPerTrigger=1` stream processes them as `n` micro-batches
+    * in a deterministic, SQL-reproducible order (FileStreamSource
+    * picks oldest-mtime first). This is the incremental-arrival
+    * fixture for s11: the batch boundaries, the watermark schedule,
+    * and the late-row drops it causes are all derivable in the DuckDB
+    * oracle from `event_id % n`.
+    */
+  def eventsBatchesDir(spark: SparkSession, path: String, n: Int): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(n >= 2, s"need at least 2 batches, got $n")
+    val src = Paths.get(path)
+    val dir = Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_${n}batch",
+      src.getParent.getFileName.toString)
+    val marker = dir.resolve("_fingerprint")
+    val fp = sourceFingerprint(src) + s"|${n}batch-v1"
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == fp
+    if (!fresh) {
+      graft.sink.FsUtil.deleteRecursively(dir)
+      Files.createDirectories(dir)
+      val base = Files.getLastModifiedTime(src).toMillis
+      (0 until n).foreach { i =>
+        val name = s"b$i.parquet"
+        val stage = dir.resolve(name + ".stage")
+        spark.read.parquet(path)
+          .filter(org.apache.spark.sql.functions.col("event_id") % n === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val stream = Files.list(stage)
+        val part =
+          try stream.iterator.asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally stream.close()
+        Files.move(part, dir.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING)
+        graft.sink.FsUtil.deleteRecursively(stage)
+        Files.setLastModifiedTime(dir.resolve(name),
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 5000L))
+      }
+      Files.write(marker, fp.getBytes("UTF-8"))
+    }
+    dir.toString
+  }
+
   /** Guard for queries whose DuckDB oracle assumes the whole input
     * arrives as ONE AvailableNow micro-batch (e.g. s02's occurrence
     * numbering is event-time order within a batch but arrival order
@@ -105,7 +151,15 @@ object StreamRunner {
     * return it as a batch DataFrame. Used by Verify so streaming
     * operators go through the same DuckDB oracle gate as batch ones.
     */
-  def runToMemory(stream: DataFrame, mode: String): DataFrame = {
+  def runToMemory(stream: DataFrame, mode: String): DataFrame =
+    runToMemoryCounted(stream, mode)._1
+
+  /** [[runToMemory]] + the number of micro-batches that actually
+    * consumed input rows — callers whose oracle encodes a specific
+    * batch schedule (s11's 2-batch arrival) assert on it instead of
+    * silently passing on a schedule the oracle doesn't model.
+    */
+  def runToMemoryCounted(stream: DataFrame, mode: String): (DataFrame, Int) = {
     val spark = stream.sparkSession
     val name = s"graft_mem_${counter.incrementAndGet()}"
     val q = stream.writeStream
@@ -115,6 +169,7 @@ object StreamRunner {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    val inputBatches = q.recentProgress.count(_.numInputRows > 0)
+    (spark.table(name), inputBatches)
   }
 }

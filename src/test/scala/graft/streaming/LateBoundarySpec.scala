@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins the exact late-row boundary semantics of
+  * `flatMapGroupsWithState` + event-time watermark — the s11 oracle
+  * reproduces the multi-batch watermark schedule in SQL, so the drop
+  * predicate at EXACTLY the watermark must be known, not guessed.
+  *
+  * Note the one-batch LAG: the late filter of batch N uses the
+  * watermark recorded in batch N−1's offset metadata (max event time
+  * through batch N−2 minus delay). This test still exercises the
+  * post-advance filter because `processAllAvailable()` after the
+  * first add runs an extra no-data batch when the watermark advances,
+  * so the second `addData` lands in a batch whose late-filter
+  * watermark is already 10:20. Back-to-back data batches with no idle
+  * gap (the s11 file schedule) see the older, lagged watermark — the
+  * s11 oracle models exactly that.
+  */
+class LateBoundarySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(hms: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hms")
+
+  private def meta(id: String, t: String, eventId: Long): ClipMeta =
+    ClipMeta(id, 8000, 100, "pcm16le", s"t$eventId", ts(t), eventId)
+
+  test("rows at or below the watermark drop; only strictly newer survive (fMGWS late filter)") {
+    val input = MemoryStream[ClipMeta](11, spark, None)
+    val q = ClipPipeline
+      .dedupStage(input.toDS().withWatermark("event_time", "10 minutes"))
+      .toDF()
+      .writeStream.format("memory").queryName("late_boundary")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: max event time 10:30:00 → watermark 10:20:00
+      input.addData(meta("a", "10:30:00", 1))
+      q.processAllAvailable()
+      // batch 2: one row AT the watermark, one 1s older, one 1s newer
+      input.addData(
+        meta("at_wm", "10:20:00", 2),
+        meta("older", "10:19:59", 3),
+        meta("newer", "10:20:01", 4))
+      q.processAllAvailable()
+      val kept = spark.table("late_boundary")
+        .select("clip_id").as[String].collect().toSet
+      // Spark's fMGWS late filter drops event_time <= watermark — the
+      // AT-watermark row is late too. The s11 oracle mirrors this with
+      // a strict `event_time > wm` survival predicate.
+      assert(kept == Set("a", "newer"),
+        s"late filter must keep only strictly-newer rows, got $kept")
+    } finally q.stop()
+  }
+}
