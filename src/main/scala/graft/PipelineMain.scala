@@ -97,6 +97,15 @@ object PipelineMain {
     loop(args.toList, Map.empty)
   }
 
+  /** Handle on one completed [[run]]: the exactly-once sink per
+    * enabled pipeline (lineage + committed data) and the metrics
+    * listener — what main prints and what the reconciliation spec
+    * asserts over.
+    */
+  final case class PipelineRun(
+      sinks: Map[String, ExactlyOnceSink],
+      listener: GraftQueryListener)
+
   def main(args: Array[String]): Unit = {
     val (opt, enabled) =
       try {
@@ -122,6 +131,35 @@ object PipelineMain {
        else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
         .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val r = run(spark, opt, enabled)
+
+    // metrics summary (D8) — rows processed per query + late drops
+    val summary = Seq("graft_mapped", "graft_dedup", "graft_rollup", "graft_join")
+      .map(n => s""""$n":{"rows":${r.listener.totalInputRows(n)},"batches":${r.listener.batches(n)},"late_dropped":${r.listener.droppedByWatermark(n)}}""")
+      .mkString("{", ",", "}")
+    // lineage reconciliation (D7): every committed batch's partition
+    // counts must sum to its observed total, and the totals must equal
+    // what a reader of the committed data sees — surfaced in the run
+    // summary so an unreconciled run is visible, not silent
+    val reconcile = r.sinks.map { case (name, sink) =>
+      val lin = sink.lineage
+      val partsOk = lin.forall(b => b.partitionRows.sum == b.rows)
+      val total = lin.map(_.rows).sum
+      val committed = sink.readCommitted(spark).count()
+      s""""$name":{"lineage_rows":$total,"committed_rows":$committed,"partitions_consistent":$partsOk,"reconciled":${partsOk && total == committed}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"pipeline":"done","queries":$summary,"lineage":$reconcile}""")
+    spark.stop()
+  }
+
+  /** Builds, starts and drains every enabled pipeline on `spark` —
+    * the whole engine application minus session lifecycle, so the
+    * reconciliation spec can run it end-to-end on the shared test
+    * session.
+    */
+  private[graft] def run(spark: SparkSession, opt: Map[String, String],
+      enabled: Seq[String]): PipelineRun = {
     if (opt.contains("rocksdb"))
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -146,11 +184,14 @@ object PipelineMain {
     def clipStream(): DataFrame =
       spark.readStream.schema(clipSchema).parquet(input)
 
+    var sinks = Map.empty[String, ExactlyOnceSink]
+
     // ---- query 1: decode map → mapped-record sink (the reference's
     //      core topology, M1/M4 + F1/F4; --strict-max-failures swaps in
     //      the poison-pill decode)
     val q1 = if (!enabled.contains("mapped")) None else Some {
       val mappedSink = new ExactlyOnceSink(s"$output/mapped", Seq("out_id"))
+      sinks += ("mapped" -> mappedSink)
       val typedClips = clipStream().as[graft.model.Clip]
       val decoded = opt.get("strict-max-failures") match {
         case Some(n) => ClipPipeline.decodeStageStrict(typedClips, n.toLong)
@@ -170,6 +211,7 @@ object PipelineMain {
     // ---- query 2: keyed stateful dedup decisions (D1)
     val q2 = if (!enabled.contains("dedup")) None else Some {
       val dedupSink = new ExactlyOnceSink(s"$output/dedup", Seq("clip_id", "occurrence"))
+      sinks += ("dedup" -> dedupSink)
       val meta = clipStream()
         .select(col("clip_id"), col("sr_hz"), col("dur_ms"), col("codec"),
           col("transcript"), col("event_time").cast("timestamp").as("event_time"),
@@ -189,6 +231,7 @@ object PipelineMain {
     //      only finalized windows are committed
     val q3 = if (!enabled.contains("rollup")) None else Some {
       val rollupSink = new ExactlyOnceSink(s"$output/rollups", Seq("window_start", "codec"))
+      sinks += ("rollup" -> rollupSink)
       val rollup = ClipPipeline.tumblingRollup(
         clipStream()
           .withColumn("event_time", col("event_time").cast("timestamp"))
@@ -207,6 +250,7 @@ object PipelineMain {
     val q4 = if (!enabled.contains("join")) None else Some {
       val updDir = opt("updates")
       val joinSink = new ExactlyOnceSink(s"$output/joined", Seq("clip_id", "u_event_time"))
+      sinks += ("join" -> joinSink)
       val updates = spark.readStream
         .schema(StructType(Seq(
           StructField("clip_id", StringType),
@@ -227,12 +271,7 @@ object PipelineMain {
     }
 
     (q1.toSeq ++ q2.toSeq ++ q3.toSeq ++ q4.toSeq).foreach(_.awaitTermination())
-
-    // metrics summary (D8) — rows processed per query + late drops
-    val summary = Seq("graft_mapped", "graft_dedup", "graft_rollup", "graft_join")
-      .map(n => s""""$n":{"rows":${listener.totalInputRows(n)},"batches":${listener.batches(n)},"late_dropped":${listener.droppedByWatermark(n)}}""")
-      .mkString("{", ",", "}")
-    println(s"""{"pipeline":"done","queries":$summary}""")
-    spark.stop()
+    spark.streams.removeListener(listener)
+    PipelineRun(sinks, listener)
   }
 }

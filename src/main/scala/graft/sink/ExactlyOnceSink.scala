@@ -124,6 +124,15 @@ class ExactlyOnceSink(outDir: String, orderCols: Seq[String]) extends Serializab
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
   }
 
+  /** Lineage records for every committed batch (D7 evidence). */
+  def lineage: Seq[ExactlyOnceSink.BatchLineage] = committedBatchIds.map { id =>
+    val s = new String(Files.readAllBytes(lineageFile(id)), "UTF-8")
+    // the batch total precedes the partitions array in the JSON layout
+    // this sink writes, so the first "rows" field is the total
+    val all = ExactlyOnceSink.RowsRe.findAllMatchIn(s).map(_.group(1).toLong).toSeq
+    ExactlyOnceSink.BatchLineage(id, all.head, all.tail)
+  }
+
   /** All committed rows (ignores uncommitted staging leftovers). */
   def readCommitted(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val ids = committedBatchIds
@@ -133,6 +142,21 @@ class ExactlyOnceSink(outDir: String, orderCols: Seq[String]) extends Serializab
       spark.read.parquet(ids.map(id => dataDir(id).toString): _*)
   }
 
+}
+
+object ExactlyOnceSink {
+
+  /** Parsed lineage of one committed batch: the observed row total and
+    * the per-partition counts read back from the staged parquet
+    * footers. [[ExactlyOnceSink.write]] records both through different
+    * channels (observe() on the write vs driver-side footer metadata),
+    * so Σ partitionRows == rows is a real conservation check, not a
+    * tautology — and reconciling either against `readCommitted().count`
+    * closes the loop with what a reader actually sees.
+    */
+  final case class BatchLineage(batchId: Long, rows: Long, partitionRows: Seq[Long])
+
+  private[sink] val RowsRe = """"rows":(\d+)""".r
 }
 
 /** Shared filesystem helpers for the sink commit protocols. */

@@ -45,6 +45,44 @@ class PipelineMainSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("--updates"))
   }
 
+  test("end-to-end run reconciles: Σ lineage = committed rows; mapped = input − quarantined") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("pipe_e2e_").toString
+    graft.synth.ClipGen.stagedClips(spark, "/root/testdata/sf0.001").head(1)
+    val input = graft.synth.ClipGen.clipsTablePath("/root/testdata/sf0.001")
+
+    val r = PipelineMain.run(spark,
+      Map("input" -> input, "output" -> out, "checkpoint" -> s"$out/_ckpt"),
+      Seq("mapped", "dedup", "rollup"))
+    assert(r.sinks.keySet == Set("mapped", "dedup", "rollup"))
+
+    // lineage conservation per sink: each committed batch's partition
+    // counts sum to its observed total, and the totals equal what a
+    // reader of the committed data sees (D7)
+    r.sinks.foreach { case (name, sink) =>
+      val lin = sink.lineage
+      assert(lin.nonEmpty, s"$name committed no batches")
+      lin.foreach(b => assert(b.partitionRows.sum == b.rows,
+        s"$name batch ${b.batchId}: partitions ${b.partitionRows.sum} != total ${b.rows}"))
+      assert(lin.map(_.rows).sum == sink.readCommitted(spark).count(),
+        s"$name: lineage total != committed rows")
+    }
+
+    // row conservation across the decode map: committed mapped rows =
+    // input − quarantined (nothing silently lost, nothing duplicated)
+    val clips = spark.read.parquet(input).as[graft.model.Clip]
+    val inputRows = clips.count()
+    val quarantined = graft.streaming.ClipPipeline.quarantineStage(clips).count()
+    val mappedRows = r.sinks("mapped").readCommitted(spark).count()
+    assert(quarantined > 0, "fixture must exercise the quarantine path")
+    assert(mappedRows == inputRows - quarantined,
+      s"mapped $mappedRows != input $inputRows - quarantined $quarantined")
+
+    // dedup decisions: single-batch AvailableNow drains every input row
+    assert(r.sinks("dedup").readCommitted(spark).count() == inputRows)
+  }
+
   test("parseArgs: value flags, boolean flags, malformed input") {
     val o = PipelineMain.parseArgs(Array(
       "--input", "/a", "--rocksdb", "--strict-max-failures", "3"))

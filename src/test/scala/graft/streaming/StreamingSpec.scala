@@ -165,6 +165,62 @@ class StreamingSpec extends AnyFunSuite {
       ("s", 1, "s"), ("s", 2, "s_1"), ("s", 3, "s_2"), ("t", 1, "t")))
   }
 
+  test("stream-stream join state survives checkpoint restart: buffered clips still match (D7/J3)") {
+    val base = java.nio.file.Files.createTempDirectory("join_restart_").toString
+    val clipsDir = s"$base/clips"
+    val updDir = s"$base/upd"
+    val ckpt = s"$base/ckpt"
+
+    def writeClips(rows: Seq[ClipMeta]): Unit =
+      rows.toDS().coalesce(1).write.mode("append").parquet(clipsDir)
+    def writeUpdates(rows: Seq[(String, String, Timestamp)]): Unit =
+      rows.toDF("clip_id", "u_transcript", "u_event_time")
+        .coalesce(1).write.mode("append").parquet(updDir)
+
+    val sink = new graft.sink.ExactlyOnceSink(s"$base/out", Seq("event_id"))
+    def startQuery() = {
+      val clips = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[ClipMeta]].schema)
+        .parquet(clipsDir)
+        .withColumn("event_time", col("event_time").cast("timestamp"))
+      val updates = spark.readStream
+        .schema(spark.read.parquet(updDir).schema)
+        .parquet(updDir)
+        .withColumn("u_event_time", col("u_event_time").cast("timestamp"))
+      ClipPipeline.transcriptUpdateJoin(clips, updates, "30 minutes", "10 MINUTES")
+        .select("clip_id", "event_id", "u_transcript")
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => sink.write(df, id))
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
+    // phase 1: c1 joins immediately; c2's update has not arrived yet,
+    // so c2 sits buffered in the join state store at shutdown
+    writeClips(Seq(meta("c1", 0, 1), meta("c2", 2, 2)))
+    writeUpdates(Seq(("c1", "u_a", ts(5))))
+    val q1 = startQuery()
+    try q1.processAllAvailable()
+    finally q1.stop()
+    assert(sink.readCommitted(spark).count() == 1)
+
+    // phase 2: restart from checkpoint; u_b must match the RESTORED c2
+    // state, and a fresh c3/u_c pair joins within the new run
+    writeClips(Seq(meta("c3", 4, 3)))
+    writeUpdates(Seq(("c2", "u_b", ts(8)), ("c3", "u_c", ts(6))))
+    val q2 = startQuery()
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val rows = sink.readCommitted(spark)
+      .select("clip_id", "event_id", "u_transcript")
+      .as[(String, Long, String)].collect().toSet
+    // (c2, u_b) proves join state was restored, not reset; exactly one
+    // row per pair proves replay produced no duplicate or dropped rows
+    assert(rows == Set(
+      ("c1", 1L, "u_a"), ("c2", 2L, "u_b"), ("c3", 3L, "u_c")))
+  }
+
   test("transformWithState dedup state survives checkpoint restart (D7, RocksDB)") {
     graft.streaming.TwsDedup.withRocksDB(spark) {
       val base = java.nio.file.Files.createTempDirectory("tws_restart_").toString
