@@ -165,6 +165,56 @@ object StreamQueries {
               |  occ > 1 AS is_dup, event_time, transcript
               |FROM u ORDER BY clip_id, occurrence""".stripMargin)),
 
+    // ------------ s12 stream-stream join across THREE micro-batches (J3)
+    // Cross-batch JOIN-STATE semantics under the hard oracle (the
+    // dedup twin is s11): clips arrive split by event_id % 3, updates
+    // by (event_id % 18) / 6 — updates all have event_id ≡ 1 (mod 6),
+    // so a plain modulo split would land every update in the same
+    // batch as its own clip; the mod-18 split instead puts a third of
+    // the updates BEFORE their clip's batch and a third AFTER, so
+    // matches must pair rows held in the join state store across batch
+    // boundaries, in both directions. The watermark delay (40 days)
+    // exceeds the whole stream span, so no row is ever late and no
+    // state is ever evicted; the append output is then exactly the
+    // full interval join, independent of the batch schedule — which is
+    // what makes a clean DuckDB oracle possible (eviction semantics
+    // are oracled separately by s09's cutoff construction;
+    // late-arrival schedule effects by s11).
+    QueryDef(
+      "s12_stream_join_multibatch",
+      (s, d) => {
+        val clipsDir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
+        val updDir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3,
+          mod = 18, div = 6)
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, clipsDir, eventsSchema,
+            maxFilesPerTrigger = Some(1)))
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .drop("sr_hz", "dur_ms", "codec")
+        val updates = ClipGen.updatesProjection(
+          StreamRunner.parquetStream(s, updDir, eventsSchema,
+            maxFilesPerTrigger = Some(1)))
+          .withColumn("u_event_time", col("u_event_time").cast("timestamp"))
+        val joined = ClipPipeline
+          .transcriptUpdateJoin(clips, updates, "40 days", "10 MINUTES")
+          .select(col("clip_id"), col("event_id"), col("event_time"),
+            col("u_transcript"), col("u_event_time"))
+        val (table, batches) = StreamRunner.runToMemoryCounted(joined, "append")
+        require(batches >= 3,
+          s"s12 expects >=3 input micro-batches (2 sources x 3 files), got $batches")
+        table
+          .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
+          .withColumn("u_event_time", col("u_event_time").cast("timestamp_ntz"))
+          .orderBy(col("clip_id"), col("event_id"), col("u_event_time"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql}),
+              |upd AS (${ClipGen.updatesSql})
+              |SELECT c.clip_id, c.event_id, c.event_time, u.u_transcript, u.u_event_time
+              |FROM clips c JOIN upd u ON c.clip_id = u.clip_id
+              |  AND u.u_event_time >= c.event_time
+              |  AND u.u_event_time <= c.event_time + INTERVAL 10 MINUTE
+              |ORDER BY c.clip_id, c.event_id, u.u_event_time""".stripMargin)),
+
     // ----------------------------- s03 stream-stream interval join (J3)
     QueryDef(
       "s03_stream_join",

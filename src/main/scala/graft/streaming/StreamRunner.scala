@@ -90,15 +90,26 @@ object StreamRunner {
     * and the late-row drops it causes are all derivable in the DuckDB
     * oracle from `event_id % n`.
     */
-  def eventsBatchesDir(spark: SparkSession, path: String, n: Int): String = {
+  /** Batch class of a row: `(event_id % mod) / div`. The default
+    * (`mod = n`, `div = 1`) is a plain modulo split; s12's updates
+    * side uses `(mod = 6n, div = 6)` so transcript updates (which all
+    * have `event_id ≡ 1 (mod 6)` and would otherwise collapse into one
+    * batch class) spread across every batch — that is what forces
+    * matches whose two sides arrive in DIFFERENT micro-batches.
+    */
+  def eventsBatchesDir(spark: SparkSession, path: String, n: Int,
+      mod: Int = 0, div: Int = 1): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(n >= 2, s"need at least 2 batches, got $n")
+    val m = if (mod == 0) n else mod
+    require(m / div == n && m % div == 0,
+      s"split (mod=$m, div=$div) must produce exactly $n classes")
     val src = Paths.get(path)
     val dir = Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_${n}batch",
+      sys.props("java.io.tmpdir"), s"graft_stream_${n}batch_${m}_$div",
       src.getParent.getFileName.toString)
     val marker = dir.resolve("_fingerprint")
-    val fp = sourceFingerprint(src) + s"|${n}batch-v1"
+    val fp = sourceFingerprint(src) + s"|${n}batch-$m-$div-v1"
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == fp
     if (!fresh) {
@@ -109,7 +120,8 @@ object StreamRunner {
         val name = s"b$i.parquet"
         val stage = dir.resolve(name + ".stage")
         spark.read.parquet(path)
-          .filter(org.apache.spark.sql.functions.col("event_id") % n === i)
+          .filter((org.apache.spark.sql.functions.col("event_id") % m)
+            .divide(div).cast("int") === i)
           .coalesce(1).write.mode("overwrite").parquet(stage.toString)
         val stream = Files.list(stage)
         val part =
