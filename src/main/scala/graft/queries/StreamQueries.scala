@@ -215,6 +215,88 @@ object StreamQueries {
               |  AND u.u_event_time <= c.event_time + INTERVAL 10 MINUTE
               |ORDER BY c.clip_id, c.event_id, u.u_event_time""".stripMargin)),
 
+    // ------------------- s13 stream-static broadcast lookup join (J1×S1)
+    // The streaming twin of q39: a stream of clip metadata enriched
+    // against the static codec catalog (first-wins dedup on the lookup
+    // side, LEFT semantics for misses — 'adpcm' has no catalog row and
+    // must come through with a null category). Stream-static joins are
+    // stateless on the stream side: the static side is deduplicated
+    // once, broadcast to every task, and each micro-batch probes it
+    // map-side — no state store, no watermark, so the append output is
+    // schedule-independent by construction and the query still runs the
+    // true incremental plan (BroadcastHashJoin under MicroBatchExec).
+    QueryDef(
+      "s13_stream_static_join",
+      (s, d) => {
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+        val enriched = graft.operators.Joins.broadcastLookupJoin(
+          clips, ClipGen.codecCategories(s), "codec", "code", "line_no")
+          .select(col("event_id"), col("clip_id"), col("codec"),
+            col("category"), col("dur_ms"))
+        StreamRunner.runToMemory(enriched, "append")
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql}),
+              |cat AS (
+              |  SELECT code, category FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY code ORDER BY line_no) AS rn
+              |    FROM (VALUES ('pcm16le', 'uncompressed', 1), ('ulaw', 'companded', 2),
+              |                 ('ulaw', 'DUPLICATE-IGNORED', 3), ('alaw', 'companded', 4),
+              |                 ('unknown', 'quarantine', 5)) t(code, category, line_no))
+              |  WHERE rn = 1)
+              |SELECT event_id, clip_id, codec, category, dur_ms
+              |FROM clips LEFT JOIN cat ON codec = code
+              |ORDER BY event_id""".stripMargin)),
+
+    // ---------- s14 tumbling agg across THREE micro-batches, APPEND (D3/D4)
+    // The built-in windowed aggregation's full append-mode schedule
+    // under the hard oracle: late rows dropped per the lagged
+    // watermark (s11's model: batch N's late filter uses max event
+    // time through batch N−2 minus the delay), windows emitted exactly
+    // once when the eviction watermark reaches their end (end <= wm,
+    // boundary inclusive — pinned in LateBoundarySpec), and windows
+    // still open at stream end withheld entirely. The final no-data
+    // flush batch evicts with a watermark that includes the LAST data
+    // batch (also pinned in LateBoundarySpec), so the emission cutoff
+    // is max event time over ALL batches minus the delay. The oracle
+    // collapses per-batch emission content to one rule: an emitted
+    // window aggregates exactly the late-filter survivors inside it —
+    // a window emitted at batch 1 can never miss a batch-2 row,
+    // because any batch-2 row in it has event_time < window_end <=
+    // max(b0) − 12h, i.e. is dropped by batch 2's late filter.
+    QueryDef(
+      "s14_stream_tumbling_multibatch",
+      (s, d) => {
+        val dir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, dir, eventsSchema,
+            maxFilesPerTrigger = Some(1)))
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .withWatermark("event_time", "12 hours")
+        val rolled = ClipPipeline.tumblingRollup(clips, "1 day")
+        val (table, batches) = StreamRunner.runToMemoryCounted(rolled, "append")
+        require(batches == 3,
+          s"s14 oracle models exactly 3 input micro-batches, got $batches")
+        table
+          .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
+          .withColumn("window_end", col("window_end").cast("timestamp_ntz"))
+          .orderBy(col("window_start"), col("codec"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql}),
+              |wm2 AS (SELECT max(event_time) - INTERVAL 12 HOUR AS w FROM clips WHERE event_id % 3 = 0),
+              |wmf AS (SELECT max(event_time) - INTERVAL 12 HOUR AS w FROM clips),
+              |surv AS (SELECT * FROM clips
+              |  WHERE event_id % 3 IN (0, 1) OR event_time > (SELECT w FROM wm2)),
+              |agg AS (
+              |  SELECT make_timestamp((epoch_us(event_time) // 86400000000) * 86400000000) AS window_start,
+              |    make_timestamp(((epoch_us(event_time) // 86400000000) + 1) * 86400000000) AS window_end,
+              |    codec, COUNT(*) AS n_clips, CAST(SUM(CAST(dur_ms AS BIGINT)) AS BIGINT) AS total_dur_ms
+              |  FROM surv GROUP BY 1, 2, 3)
+              |SELECT window_start, window_end, codec, n_clips, total_dur_ms
+              |FROM agg WHERE window_end <= (SELECT w FROM wmf)
+              |ORDER BY window_start, codec""".stripMargin)),
+
     // ----------------------------- s03 stream-stream interval join (J3)
     QueryDef(
       "s03_stream_join",

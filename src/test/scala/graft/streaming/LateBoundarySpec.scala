@@ -60,4 +60,37 @@ class LateBoundarySpec extends AnyFunSuite {
         s"late filter must keep only strictly-newer rows, got $kept")
     } finally q.stop()
   }
+
+  test("append-mode windowed agg: final flush uses the LAST batch's stats; emission is window_end <= watermark") {
+    // Pins the two facts the s14 oracle depends on:
+    //  1. after the last data batch, the no-data flush batch emits with
+    //     a watermark that already includes the last batch's max event
+    //     time (so the oracle's final-emission cutoff is max over ALL
+    //     batches minus the delay — not the lagged value the LATE
+    //     filter uses inside a data batch);
+    //  2. the emission predicate at the exact boundary: a window whose
+    //     end equals the watermark IS emitted (end <= wm), mirroring
+    //     the late filter's complementary strictness above.
+    val input = MemoryStream[ClipMeta](12, spark, None)
+    val clips = input.toDS().toDF()
+      .withColumn("event_time", org.apache.spark.sql.functions.col("event_time"))
+      .withWatermark("event_time", "10 minutes")
+    val rolled = ClipPipeline.tumblingRollup(clips, "1 hour")
+    val q = rolled.writeStream.format("memory").queryName("agg_boundary")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // ONE data batch: a 10:30 row (window 10:00–11:00) plus a row at
+      // 11:10 whose event time advances the watermark to exactly 11:00
+      // — the 10–11 window's end. If the flush used the lagged
+      // watermark (stats through batch N−2 = nothing), no window could
+      // emit; if the boundary predicate were strict (<), the 10–11
+      // window would be withheld.
+      input.addData(meta("w1", "10:30:00", 1), meta("w2", "11:10:00", 2))
+      q.processAllAvailable()
+      val emitted = spark.table("agg_boundary")
+        .select("window_start").collect().map(_.get(0).toString).toSet
+      assert(emitted == Set("2024-01-01 10:00:00.0"),
+        s"expected exactly the 10:00 window at the wm==end boundary, got $emitted")
+    } finally q.stop()
+  }
 }
