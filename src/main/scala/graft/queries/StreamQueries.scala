@@ -251,20 +251,22 @@ object StreamQueries {
 
     // ---------- s14 tumbling agg across THREE micro-batches, APPEND (D3/D4)
     // The built-in windowed aggregation's full append-mode schedule
-    // under the hard oracle: late rows dropped per the lagged
-    // watermark (s11's model: batch N's late filter uses max event
-    // time through batch N−2 minus the delay), windows emitted exactly
-    // once when the eviction watermark reaches their end (end <= wm,
-    // boundary inclusive — pinned in LateBoundarySpec), and windows
-    // still open at stream end withheld entirely. The final no-data
+    // under the hard oracle. Unlike fMGWS's row-level late filter
+    // (s11), the agg path's late filter is WINDOW-level: a batch-N row
+    // drops iff its window is already closed, window_end <= lagged
+    // watermark (max event time through batch N−2 minus the delay) —
+    // rows older than the watermark are still admitted while their
+    // window stays open (all three boundaries pinned in
+    // LateBoundarySpec). Windows emit exactly once when the eviction
+    // watermark reaches their end (end <= wm, boundary inclusive), and
+    // windows still open at stream end are withheld. The final no-data
     // flush batch evicts with a watermark that includes the LAST data
-    // batch (also pinned in LateBoundarySpec), so the emission cutoff
-    // is max event time over ALL batches minus the delay. The oracle
-    // collapses per-batch emission content to one rule: an emitted
-    // window aggregates exactly the late-filter survivors inside it —
-    // a window emitted at batch 1 can never miss a batch-2 row,
-    // because any batch-2 row in it has event_time < window_end <=
-    // max(b0) − 12h, i.e. is dropped by batch 2's late filter.
+    // batch (also pinned), so the emission cutoff is max event time
+    // over ALL batches minus the delay. The oracle collapses per-batch
+    // emission content to one rule: an emitted window aggregates
+    // exactly the survivors inside it — a window emitted at batch 1
+    // has window_end <= max(b0) − 12h, which is precisely batch 2's
+    // window-close predicate, so it can never miss a batch-2 row.
     QueryDef(
       "s14_stream_tumbling_multibatch",
       (s, d) => {
@@ -287,7 +289,8 @@ object StreamQueries {
               |wm2 AS (SELECT max(event_time) - INTERVAL 12 HOUR AS w FROM clips WHERE event_id % 3 = 0),
               |wmf AS (SELECT max(event_time) - INTERVAL 12 HOUR AS w FROM clips),
               |surv AS (SELECT * FROM clips
-              |  WHERE event_id % 3 IN (0, 1) OR event_time > (SELECT w FROM wm2)),
+              |  WHERE event_id % 3 IN (0, 1)
+              |     OR make_timestamp(((epoch_us(event_time) // 86400000000) + 1) * 86400000000) > (SELECT w FROM wm2)),
               |agg AS (
               |  SELECT make_timestamp((epoch_us(event_time) // 86400000000) * 86400000000) AS window_start,
               |    make_timestamp(((epoch_us(event_time) // 86400000000) + 1) * 86400000000) AS window_end,

@@ -93,4 +93,47 @@ class LateBoundarySpec extends AnyFunSuite {
         s"expected exactly the 10:00 window at the wm==end boundary, got $emitted")
     } finally q.stop()
   }
+
+  test("windowed agg late filter is WINDOW-level: rows drop iff window_end <= wm, not by raw event time") {
+    // The agg path's late filter differs from fMGWS's row-level one
+    // pinned above: a row is late only when its WINDOW is already
+    // closed (window_end <= watermark — an earlier draft of this test
+    // assumed the fMGWS row-level rule and got n_clips=4, all rows of
+    // a still-open window admitted, not 2). The s14/s15 oracles model
+    // exactly this. Three facts pinned here, with the late-filter
+    // watermark at exactly 10:00 (batch-1 row 10:10, delay 10 min,
+    // idle batch advances the filter before batch 2):
+    //  1. a batch-2 row at 08:30 (window 8–9, end 09:00 < wm) drops;
+    //  2. a row at 09:30 whose window end is EXACTLY the watermark
+    //     (9–10, end == 10:00) drops too — window-close is `end <= wm`,
+    //     the complement of the `end <= wm` emission rule, so the 9–10
+    //     window never appears in the output at all;
+    //  3. rows at 10:00:00 (== wm — row-level strictness would drop
+    //     it) and 10:05 are admitted because window 10–11 is open.
+    // The flush batch (12:30 → wm 12:20) then emits 10–11 with all
+    // three admitted rows; 12–13 stays open and is withheld.
+    val input = MemoryStream[ClipMeta](13, spark, None)
+    val clips = input.toDS().toDF()
+      .withWatermark("event_time", "10 minutes")
+    val rolled = ClipPipeline.tumblingRollup(clips, "1 hour")
+    val q = rolled.writeStream.format("memory").queryName("agg_late_boundary")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(meta("a", "10:10:00", 1))
+      q.processAllAvailable() // late-filter wm now 10:00 (idle batch ran)
+      input.addData(
+        meta("closed", "08:30:00", 2),
+        meta("end_at_wm", "09:30:00", 3),
+        meta("row_at_wm", "10:00:00", 4),
+        meta("open", "10:05:00", 5))
+      q.processAllAvailable()
+      input.addData(meta("flush", "12:30:00", 6))
+      q.processAllAvailable()
+      val out = spark.table("agg_late_boundary")
+        .select("window_start", "n_clips").collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      assert(out == Map("2024-01-01 10:00:00.0" -> 3L),
+        s"expected only the 10:00 window with n_clips=3, got $out")
+    } finally q.stop()
+  }
 }
