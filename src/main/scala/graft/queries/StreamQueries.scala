@@ -300,6 +300,79 @@ object StreamQueries {
               |FROM agg WHERE window_end <= (SELECT w FROM wmf)
               |ORDER BY window_start, codec""".stripMargin)),
 
+    // ------- s15 session windows across THREE micro-batches, APPEND (D4)
+    // The hardest multi-batch shape: session MERGING state under the
+    // full append-mode schedule. Unlike tumbling windows (s14), an
+    // emitted session does not protect its time range — a late row
+    // whose prospective end (ts + gap) clears the lagged watermark is
+    // admitted even if it overlaps an already-emitted session, and
+    // opens a FRESH session there (all boundaries pinned in
+    // LateBoundarySpec). The oracle therefore replays the schedule in
+    // two sessionization rounds: round 1 sessionizes b0∪b1 and emits
+    // sessions with end <= wm1 (max b0 ts − delay — batch 1's eviction
+    // watermark); round 2 re-sessionizes the UNEMITTED rows plus the
+    // admitted b2 rows (prospective end > wm1, batch 2's lagged late
+    // filter) and emits those with end <= final watermark (max over
+    // all ts − delay); still-open sessions are withheld. Content of a
+    // session emitted mid-stream is complete: any b2 row that could
+    // have extended it is either admitted into round 2 (fresh session)
+    // or dropped — emitted state is gone either way.
+    QueryDef(
+      "s15_stream_session_multibatch",
+      (s, d) => {
+        val dir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
+        val ev = StreamRunner.parquetStream(s, dir, eventsSchema,
+            maxFilesPerTrigger = Some(1))
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "12 hours")
+        val sessions = ClipPipeline.sessionRollup(ev, "ts", "user_id", "30 minutes")
+        val (table, batches) = StreamRunner.runToMemoryCounted(sessions, "append")
+        require(batches == 3,
+          s"s15 oracle models exactly 3 input micro-batches, got $batches")
+        table
+          .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+          .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH wm1 AS (SELECT max(ts) - INTERVAL 12 HOUR AS w FROM events WHERE event_id % 3 = 0),
+             |wmf AS (SELECT max(ts) - INTERVAL 12 HOUR AS w FROM events),
+             |b01 AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 3 IN (0, 1)),
+             |f1 AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM b01),
+             |g1 AS (SELECT user_id, ts, event_id,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM f1),
+             |s1 AS (SELECT user_id, sid, MIN(ts) AS session_start,
+             |    MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+             |  FROM g1 GROUP BY user_id, sid),
+             |emit1 AS (SELECT session_start, session_end, user_id, n_events
+             |  FROM s1 WHERE session_end <= (SELECT w FROM wm1)),
+             |rem AS (SELECT g1.user_id, g1.ts, g1.event_id
+             |  FROM g1 JOIN s1 ON g1.user_id = s1.user_id AND g1.sid = s1.sid
+             |  WHERE s1.session_end > (SELECT w FROM wm1)),
+             |b2a AS (SELECT user_id, ts, event_id FROM events
+             |  WHERE event_id % 3 = 2 AND ts + INTERVAL 30 MINUTE > (SELECT w FROM wm1)),
+             |u2 AS (SELECT * FROM rem UNION ALL SELECT * FROM b2a),
+             |f2 AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM u2),
+             |g2 AS (SELECT user_id, ts, event_id,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM f2),
+             |s2 AS (SELECT user_id, sid, MIN(ts) AS session_start,
+             |    MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+             |  FROM g2 GROUP BY user_id, sid),
+             |emit2 AS (SELECT session_start, session_end, user_id, n_events
+             |  FROM s2 WHERE session_end <= (SELECT w FROM wmf))
+             |SELECT session_start, session_end, user_id, n_events
+             |FROM (SELECT * FROM emit1 UNION ALL SELECT * FROM emit2)
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // ----------------------------- s03 stream-stream interval join (J3)
     QueryDef(
       "s03_stream_join",

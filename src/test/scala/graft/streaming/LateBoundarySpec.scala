@@ -136,4 +136,47 @@ class LateBoundarySpec extends AnyFunSuite {
         s"expected only the 10:00 window with n_clips=3, got $out")
     } finally q.stop()
   }
+
+  test("session windows: late filter on the row's prospective end (ts+gap <= wm drops); late rows re-open fresh sessions past emitted ones") {
+    // Pins the s15 oracle's session-specific facts (gap 30 min,
+    // delay 10 min, sessions keyed by codec on event_time):
+    //  1. batch 1 rows at 11:15 and 12:00 leave watermark 11:50 and —
+    //     in the idle batch processAllAvailable runs — already emit
+    //     session [11:15, 11:45) (end <= wm), keeping [12:00, 12:30);
+    //  2. batch-2 late filter drops a row iff its PROSPECTIVE session
+    //     end, ts + gap, is <= the watermark — 10:40 (end 11:10) and
+    //     the exact-boundary 11:20 (end == 11:50) drop; 11:25 (end
+    //     11:55 > 11:50) is admitted even though its ts is BELOW the
+    //     watermark and it overlaps the already-emitted session —
+    //     emitted state is gone, so it opens a FRESH session
+    //     [11:25, 11:55) rather than resurrecting/merging;
+    //  3. the flush (13:30 → wm 13:20) emits [11:25,11:55) and
+    //     [12:00,12:30) and withholds the still-open [13:30,14:00).
+    val input = MemoryStream[ClipMeta](14, spark, None)
+    val clips = input.toDS().toDF()
+      .withWatermark("event_time", "10 minutes")
+    val sessions = ClipPipeline
+      .sessionRollup(clips, "event_time", "codec", "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_boundary")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(meta("a", "11:15:00", 1), meta("b", "12:00:00", 2))
+      q.processAllAvailable() // late-filter wm now 11:50 (idle batch ran)
+      input.addData(
+        meta("dropped", "10:40:00", 3),   // prospective end 11:10 < wm
+        meta("boundary", "11:20:00", 4),  // prospective end == wm
+        meta("reopen", "11:25:00", 5))    // prospective end 11:55 > wm
+      q.processAllAvailable()
+      input.addData(meta("flush", "13:30:00", 6))
+      q.processAllAvailable()
+      val out = spark.table("sess_boundary")
+        .select("session_start", "session_end", "n_events").collect()
+        .map(r => (r.get(0).toString, r.get(1).toString, r.getLong(2))).toSet
+      val expected = Set(
+        ("2024-01-01 11:15:00.0", "2024-01-01 11:45:00.0", 1L),
+        ("2024-01-01 11:25:00.0", "2024-01-01 11:55:00.0", 1L),
+        ("2024-01-01 12:00:00.0", "2024-01-01 12:30:00.0", 1L))
+      assert(out == expected, s"session schedule mismatch: got $out")
+    } finally q.stop()
+  }
 }
