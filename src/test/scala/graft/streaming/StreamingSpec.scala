@@ -532,4 +532,100 @@ class StreamingSpec extends AnyFunSuite {
     val srcRms = math.sqrt(good.map(v => v.toDouble * v).sum / good.length)
     assert(math.abs(m.pcm.rms - srcRms) / srcRms < 0.01)
   }
+
+  private def tsAt(hms: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hms")
+
+  private def metaAt(id: String, hms: String, eventId: Long): ClipMeta =
+    ClipMeta(id, 8000, 100, "pcm16le", s"t$eventId", tsAt(hms), eventId)
+
+  test("windowed-agg PARTIAL state survives checkpoint restart: restored partials merge with new rows (D7/D4)") {
+    val base = java.nio.file.Files.createTempDirectory("agg_restart_").toString
+    val inDir = s"$base/in"
+    val ckpt = s"$base/ckpt"
+    def writeFile(rows: Seq[ClipMeta]): Unit =
+      rows.toDS().coalesce(1).write.mode("append").parquet(inDir)
+    val sink = new graft.sink.ExactlyOnceSink(s"$base/out", Seq("window_start", "codec"))
+    def startQuery() = {
+      val clips = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[ClipMeta]].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .withColumn("event_time", col("event_time").cast("timestamp"))
+        .withWatermark("event_time", "10 minutes")
+      ClipPipeline.tumblingRollup(clips, "1 hour")
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => sink.write(df, id))
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    // phase 1: three rows in the 10–11 window; watermark tops out at
+    // 10:40, so the window is still OPEN (partial n=3 only in state,
+    // nothing committed) when the query stops
+    writeFile(Seq(metaAt("a", "10:10:00", 1), metaAt("a", "10:40:00", 2),
+      metaAt("a", "10:50:00", 3)))
+    val q1 = startQuery()
+    try q1.processAllAvailable()
+    finally q1.stop()
+    assert(sink.readCommitted(spark).count() == 0,
+      "10–11 window must still be open (partial state only) at shutdown")
+    // phase 2: restart from checkpoint; a 4th row joins the restored
+    // window, then 12:30 advances the watermark past 11:00 to flush it
+    writeFile(Seq(metaAt("a", "10:45:00", 4), metaAt("a", "12:30:00", 5)))
+    val q2 = startQuery()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val rows = sink.readCommitted(spark)
+      .select(col("window_start").cast("string"), col("n_clips"))
+      .as[(String, Long)].collect().toSet
+    // n_clips=4 proves the restored partial (3) merged with the
+    // post-restart row; exactly one committed row proves no replay
+    assert(rows == Set(("2024-01-01 10:00:00", 4L)),
+      s"expected the flushed 10:00 window with n_clips=4, got $rows")
+  }
+
+  test("session-window state survives checkpoint restart: restored session extends and merges (D7/D4)") {
+    val base = java.nio.file.Files.createTempDirectory("sess_restart_").toString
+    val inDir = s"$base/in"
+    val ckpt = s"$base/ckpt"
+    def writeFile(rows: Seq[ClipMeta]): Unit =
+      rows.toDS().coalesce(1).write.mode("append").parquet(inDir)
+    val sink = new graft.sink.ExactlyOnceSink(s"$base/out", Seq("session_start", "codec"))
+    def startQuery() = {
+      val clips = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[ClipMeta]].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .withColumn("event_time", col("event_time").cast("timestamp"))
+        .withWatermark("event_time", "10 minutes")
+      ClipPipeline.sessionRollup(clips, "event_time", "codec", "30 minutes")
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => sink.write(df, id))
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    // phase 1: two rows 20 min apart merge into session [10:00, 10:50);
+    // the watermark (10:10) is far below the session end, so the
+    // session is open in state when the query stops
+    writeFile(Seq(metaAt("s", "10:00:00", 1), metaAt("s", "10:20:00", 2)))
+    val q1 = startQuery()
+    try q1.processAllAvailable()
+    finally q1.stop()
+    assert(sink.readCommitted(spark).count() == 0,
+      "session must still be open at shutdown")
+    // phase 2: a 10:40 row lands inside the RESTORED session's gap and
+    // must extend it to [10:00, 11:10); 23:00 flushes everything closed
+    writeFile(Seq(metaAt("s", "10:40:00", 3), metaAt("s", "23:00:00", 4)))
+    val q2 = startQuery()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val rows = sink.readCommitted(spark)
+      .select(col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    // one 3-event session spanning the restart proves the restored
+    // session merged with post-restart data instead of resetting
+    assert(rows == Set(("2024-01-01 10:00:00", "2024-01-01 11:10:00", 3L)),
+      s"expected one merged session [10:00,11:10) n=3, got $rows")
+  }
 }
