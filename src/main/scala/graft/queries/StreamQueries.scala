@@ -300,6 +300,54 @@ object StreamQueries {
               |FROM agg WHERE window_end <= (SELECT w FROM wmf)
               |ORDER BY window_start, codec""".stripMargin)),
 
+    // ------ s16 tumbling agg across THREE micro-batches, UPDATE (D4)
+    // The third output mode under the hard oracle (complete: s01/s04,
+    // append: s14/s15): update mode emits, per micro-batch, ONLY the
+    // groups that changed in that batch, carrying their cumulative
+    // value, and the memory sink accumulates one row per emission —
+    // so the result is one row per (window, codec, touched batch)
+    // with strictly growing n_clips (pinned in LateBoundarySpec).
+    // Late rows drop per the same lagged window-level filter as s14;
+    // eviction is silent (no emission) and cannot disagree with the
+    // late filter because both use the same end-vs-watermark
+    // predicate, one batch apart. Rows are keyed by (window, codec,
+    // n_clips) — unique because every emission strictly increases the
+    // group's count.
+    QueryDef(
+      "s16_stream_tumbling_update",
+      (s, d) => {
+        val dir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, dir, eventsSchema,
+            maxFilesPerTrigger = Some(1)))
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .withWatermark("event_time", "12 hours")
+        val rolled = ClipPipeline.tumblingRollup(clips, "1 day")
+        val (table, batches) = StreamRunner.runToMemoryCounted(rolled, "update")
+        require(batches == 3,
+          s"s16 oracle models exactly 3 input micro-batches, got $batches")
+        table
+          .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
+          .withColumn("window_end", col("window_end").cast("timestamp_ntz"))
+          .orderBy(col("window_start"), col("codec"), col("n_clips"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql}),
+              |wm2 AS (SELECT max(event_time) - INTERVAL 12 HOUR AS w FROM clips WHERE event_id % 3 = 0),
+              |adm AS (SELECT *, CAST(event_id % 3 AS INT) AS b FROM clips
+              |  WHERE event_id % 3 IN (0, 1)
+              |     OR make_timestamp(((epoch_us(event_time) // 86400000000) + 1) * 86400000000) > (SELECT w FROM wm2)),
+              |pb AS (
+              |  SELECT make_timestamp((epoch_us(event_time) // 86400000000) * 86400000000) AS window_start,
+              |    make_timestamp(((epoch_us(event_time) // 86400000000) + 1) * 86400000000) AS window_end,
+              |    codec, b, COUNT(*) AS n, SUM(CAST(dur_ms AS BIGINT)) AS s
+              |  FROM adm GROUP BY 1, 2, 3, 4)
+              |SELECT window_start, window_end, codec,
+              |  CAST(SUM(n) OVER w AS BIGINT) AS n_clips,
+              |  CAST(SUM(s) OVER w AS BIGINT) AS total_dur_ms
+              |FROM pb
+              |WINDOW w AS (PARTITION BY window_start, codec ORDER BY b ROWS UNBOUNDED PRECEDING)
+              |ORDER BY window_start, codec, n_clips""".stripMargin)),
+
     // ------- s15 session windows across THREE micro-batches, APPEND (D4)
     // The hardest multi-batch shape: session MERGING state under the
     // full append-mode schedule. Unlike tumbling windows (s14), an

@@ -179,4 +179,38 @@ class LateBoundarySpec extends AnyFunSuite {
       assert(out == expected, s"session schedule mismatch: got $out")
     } finally q.stop()
   }
+
+  test("UPDATE mode emits only changed groups with cumulative values; memory sink keeps one row per emission") {
+    // Pins the s16 oracle's facts: (1) a batch emits a group iff it
+    // received admitted rows in that batch (window B appears once);
+    // (2) the emitted value is CUMULATIVE (window A's second emission
+    // reads 3, not a delta of 1); (3) the memory sink accumulates one
+    // row per emission in update mode, so a twice-touched group yields
+    // two rows with strictly growing counts; (4) eviction is SILENT —
+    // window B (end 10:00 <= wm 10:10) is evicted from state after
+    // batch 1 without being re-emitted, and the batch-2 row at 10:30
+    // is admitted because window A (end 11:00) is still open.
+    val input = MemoryStream[ClipMeta](15, spark, None)
+    val clips = input.toDS().toDF()
+      .withWatermark("event_time", "10 minutes")
+    val rolled = ClipPipeline.tumblingRollup(clips, "1 hour")
+    val q = rolled.writeStream.format("memory").queryName("upd_mode")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(meta("a1", "10:10:00", 1), meta("a2", "10:20:00", 2),
+        meta("b1", "09:30:00", 3))
+      q.processAllAvailable() // wm now 10:10 → window B evicted (silently)
+      input.addData(meta("a3", "10:30:00", 4))
+      q.processAllAvailable()
+      val out = spark.table("upd_mode")
+        .select("window_start", "n_clips").collect()
+        .map(r => (r.get(0).toString, r.getLong(1))).toSeq
+        .sortBy(identity)
+      val expected = Seq(
+        ("2024-01-01 09:00:00.0", 1L), // batch 1: window B, then silent eviction
+        ("2024-01-01 10:00:00.0", 2L), // batch 1: window A cumulative 2
+        ("2024-01-01 10:00:00.0", 3L)) // batch 2: window A cumulative 3
+      assert(out == expected, s"update-mode emission schedule mismatch: got $out")
+    } finally q.stop()
+  }
 }
