@@ -26,6 +26,7 @@ object Bench {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.parquet.columnarReaderBatchSize", "256") // binary-payload tables: 4096-row default batches OOM on ~60KB blobs
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536") // ANN top-k: keep thousands of query_id groups on the hash partial path
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -124,6 +124,7 @@ object PipelineMain {
         opt.getOrElse("shuffle-partitions",
           sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536") // ANN top-k: keep thousands of query_id groups on the hash partial path
       .config("spark.sql.adaptive.enabled", "true")
     // master comes from spark-submit on a cluster; default local for dev
     val spark =
@@ -271,6 +272,12 @@ object PipelineMain {
     }
 
     (q1.toSeq ++ q2.toSeq ++ q3.toSeq ++ q4.toSeq).foreach(_.awaitTermination())
+    // progress events arrive on the async listener bus — drain it
+    // before detaching, or the summary can miss the final micro-batch
+    if (!org.apache.spark.graftbridge.ListenerBridge
+        .drainListenerBus(spark.sparkContext, 30000L))
+      System.err.println(
+        "[pipeline] WARN listener bus not drained in 30s; metrics summary may undercount")
     spark.streams.removeListener(listener)
     PipelineRun(sinks, listener)
   }

@@ -30,6 +30,7 @@ object ScalingBench {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.parquet.columnarReaderBatchSize", "256") // binary-payload tables: 4096-row default batches OOM on ~60KB blobs
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536") // ANN top-k: keep thousands of query_id groups on the hash partial path
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -154,20 +155,27 @@ object ScalingBench {
   private[graft] def ceilingPlausible(c: Double): Boolean = c >= 0.5 && c <= 1.25
 
   /** Ceiling probe with rejection + re-run: up to `maxTries` probes,
-    * first plausible one wins. Returns (raw ceiling, tries, valid).
+    * first plausible one wins; if EVERY probe is implausible, the
+    * least-implausible (closest to the [0.5, 1.25] band) is returned
+    * with valid=false — callers must then normalize against a neutral
+    * 1.0, never against the corrupted value (a 0.27 denominator
+    * inflates normalized efficiency, the round-2 artifact failure).
+    * Returns (raw ceiling, tries, valid).
     */
   private def measureCeiling(lo: Int, hi: Int, maxTries: Int = 3): (Double, Int, Boolean) = {
     var tries = 0
-    var c = 0.0
-    var ok = false
-    while (tries < maxTries && !ok) {
-      c = machineCeiling(lo, hi)
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    while (tries < maxTries && !probes.lastOption.exists(ceilingPlausible)) {
+      val c = machineCeiling(lo, hi)
+      probes += c
       tries += 1
-      ok = ceilingPlausible(c)
-      if (!ok) System.err.println(
+      if (!ceilingPlausible(c)) System.err.println(
         f"[scaling] ceiling probe $tries measured $c%.3f outside [0.5, 1.25] — corrupted window, re-running")
     }
-    (c, tries, ok)
+    def bandDistance(c: Double): Double =
+      if (c < 0.5) 0.5 - c else if (c > 1.25) c - 1.25 else 0.0
+    val best = probes.minBy(bandDistance)
+    (best, tries, ceilingPlausible(best))
   }
 
   /** The scaling-evidence JSON block embedded in the per-round bench
@@ -185,8 +193,10 @@ object ScalingBench {
     *    partially self-contended and under-reports the engine.
     *  - a ceiling probe outside [0.5, 1.25] is REJECTED and re-run (up
     *    to 3 probes per pass); a pass whose every probe is implausible
-    *    is recorded but marked `"valid":false` and never reported as
-    *    the headline.
+    *    is recorded but marked `"valid":false`, its normalized value
+    *    computed against a NEUTRAL ceiling of 1.0 (a corrupted probe
+    *    must not become the denominator), and it is never reported as
+    *    the headline while a valid pass exists.
     *  - the ceiling is clamped at ≤1.0 AND `normalized_efficiency` is
     *    clamped at ≤1.0 — no value in the block can exceed 1.0 (an
     *    engine cannot scale better than perfectly; anything above is
@@ -203,7 +213,9 @@ object ScalingBench {
         tLo: Double, tHi: Double) {
       val ceil: Double = math.min(ceilRaw, 1.0)
       val raw: Double = (tLo / tHi) / (hi.toDouble / lo)
-      val norm: Double = math.min(raw / ceil, 1.0)
+      // an INVALID ceiling never becomes the denominator — normalize
+      // against neutral 1.0 instead (can only understate, not flatter)
+      val norm: Double = math.min(raw / (if (valid) ceil else 1.0), 1.0)
     }
     val ps = (1 to passes).map { _ =>
       val (c, tries, ok) = measureCeiling(lo, hi)
@@ -257,7 +269,8 @@ object ScalingBench {
     val thLo = nClips.toDouble * workScale / tLo
     val thHi = nClips.toDouble * workScale / tHi
     val eff = (tLo / tHi) / (hi.toDouble / lo)
-    val norm = math.min(eff / ceiling, 1.0)
+    // invalid ceiling → neutral 1.0 denominator (see measureCeiling)
+    val norm = math.min(eff / (if (ceilValid) ceiling else 1.0), 1.0)
     println(
       f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","machine_cpu_ceiling":$ceiling%.3f,"machine_cpu_ceiling_raw":$ceilRaw%.3f,"ceiling_valid":$ceilValid,"normalized_efficiency":$norm%.3f,"sf":"$sfDir","n_clips":$nClips,"work_scale":$workScale,"cpus_lo":$lo,"cpus_hi":$hi,"sec_lo":$tLo%.2f,"sec_hi":$tHi%.2f,"clips_per_sec_lo":$thLo%.1f,"clips_per_sec_hi":$thHi%.1f,"stream_p99_batch_ms_lo":${p99(latLo)}%.0f,"stream_p99_batch_ms_hi":${p99(latHi)}%.0f}""")
   }

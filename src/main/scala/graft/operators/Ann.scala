@@ -37,15 +37,15 @@ object Ann {
     * [[TopKHits]] aggregator: map-side partials keep ≤ 2k candidates
     * per query, the exchange carries ≤ 2k·nPartitions rows per query,
     * and the final merge ranks those survivors — never a per-query
-    * single-reducer sort of the full score list. The ObjectHashAgg
-    * group-count fallback threshold is raised so a realistic query
-    * batch (thousands of query_ids per partition) stays on the
-    * hash-map partial path; the sort-based fallback would still be
-    * distributed and correct, just slower.
+    * single-reducer sort of the full score list. The entry mains raise
+    * the ObjectHashAgg group-count fallback threshold session-wide so
+    * a realistic query batch (thousands of query_ids per partition)
+    * stays on the hash-map partial path (setting it here would mutate
+    * the shared session as a hidden side effect of building this
+    * DataFrame); the sort-based fallback would still be distributed
+    * and correct, just slower.
     */
   private def rankTopK(scored: DataFrame, k: Int, withCluster: Boolean): DataFrame = {
-    scored.sparkSession.conf
-      .set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     val clusterCol =
       if (withCluster) col("cluster") else lit(-1)
     val hits = TopKHits.udafColumn(k)(

@@ -37,6 +37,10 @@ object ClipQueries {
             col("pcm.zero_crossings").as("zero_crossings"),
             col("pcm.clipped").as("clipped"),
             col("transcript_norm"), col("n_tokens"), col("event_time"))
+          // global sort range-partitions via a sampling pass that would
+          // otherwise re-run the full decode; the post-decode stats rows
+          // are tiny (no PCM), so cache them across the two passes
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           .orderBy(col("out_id"), col("clip_id"))
       },
       Some {

@@ -124,22 +124,42 @@ class ExactlyOnceSink(outDir: String, orderCols: Seq[String]) extends Serializab
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
   }
 
-  /** Lineage records for every committed batch (D7 evidence). */
+  /** Lineage records for every committed batch (D7 evidence). Parsed
+    * with a real JSON reader (field-order independent); a lineage file
+    * corrupted after commit (e.g. a torn write racing a crash) falls
+    * back to the commit marker, which stores the same document and was
+    * written atomically — only both being unreadable fails, with the
+    * batch id in the error instead of a bare NoSuchElementException.
+    */
   def lineage: Seq[ExactlyOnceSink.BatchLineage] = committedBatchIds.map { id =>
-    val s = new String(Files.readAllBytes(lineageFile(id)), "UTF-8")
-    // the batch total precedes the partitions array in the JSON layout
-    // this sink writes, so the first "rows" field is the total
-    val all = ExactlyOnceSink.RowsRe.findAllMatchIn(s).map(_.group(1).toLong).toSeq
-    ExactlyOnceSink.BatchLineage(id, all.head, all.tail)
+    ExactlyOnceSink.parseLineage(lineageFile(id), id) match {
+      case Right(l) => l
+      case Left(err1) =>
+        ExactlyOnceSink.parseLineage(commitMarker(id), id) match {
+          case Right(l) => l
+          case Left(err2) => throw new IllegalStateException(
+            s"batch $id lineage unreadable: $err1; commit-marker fallback: $err2")
+        }
+    }
   }
 
-  /** All committed rows (ignores uncommitted staging leftovers). */
+  /** All committed rows (ignores uncommitted staging leftovers). A
+    * committed EMPTY batch contains only _SUCCESS (FileFormatWriter
+    * writes no part files for empty partitions), so pass only dirs
+    * with data to the reader — schema inference over exclusively
+    * empty batches would otherwise throw.
+    */
   def readCommitted(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val ids = committedBatchIds
-    if (ids.isEmpty)
+    val dirs = committedBatchIds.map(dataDir).filter { d =>
+      val stream = Files.list(d)
+      try stream.iterator.asScala
+        .exists(_.getFileName.toString.endsWith(".parquet"))
+      finally stream.close()
+    }
+    if (dirs.isEmpty)
       spark.emptyDataFrame
     else
-      spark.read.parquet(ids.map(id => dataDir(id).toString): _*)
+      spark.read.parquet(dirs.map(_.toString): _*)
   }
 
 }
@@ -156,7 +176,21 @@ object ExactlyOnceSink {
     */
   final case class BatchLineage(batchId: Long, rows: Long, partitionRows: Seq[Long])
 
-  private[sink] val RowsRe = """"rows":(\d+)""".r
+  private[sink] def parseLineage(
+      file: Path, id: Long): Either[String, BatchLineage] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readAllBytes(file))
+      if (node == null || !node.hasNonNull("rows") || !node.has("partitions"))
+        Left(s"$file missing rows/partitions fields")
+      else {
+        val parts = node.get("partitions").elements().asScala
+          .map(_.get("rows").asLong()).toSeq
+        Right(BatchLineage(id, node.get("rows").asLong(), parts))
+      }
+    } catch {
+      case e: Exception => Left(s"$file: ${e.getMessage}")
+    }
 }
 
 /** Shared filesystem helpers for the sink commit protocols. */

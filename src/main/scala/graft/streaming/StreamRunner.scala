@@ -116,10 +116,13 @@ object StreamRunner {
       graft.sink.FsUtil.deleteRecursively(dir)
       Files.createDirectories(dir)
       val base = Files.getLastModifiedTime(src).toMillis
-      (0 until n).foreach { i =>
+      // one source scan for all n batch classes, not one per class
+      val source = spark.read.parquet(path)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try (0 until n).foreach { i =>
         val name = s"b$i.parquet"
         val stage = dir.resolve(name + ".stage")
-        spark.read.parquet(path)
+        source
           .filter((org.apache.spark.sql.functions.col("event_id") % m)
             .divide(div).cast("int") === i)
           .coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -133,7 +136,7 @@ object StreamRunner {
         graft.sink.FsUtil.deleteRecursively(stage)
         Files.setLastModifiedTime(dir.resolve(name),
           java.nio.file.attribute.FileTime.fromMillis(base + i * 5000L))
-      }
+      } finally source.unpersist()
       Files.write(marker, fp.getBytes("UTF-8"))
     }
     dir.toString

@@ -192,7 +192,10 @@ object ClipGen {
       // so the engine output and the expectation share one rounding
       // implementation (HALF_UP on the decimal rendering).
       import org.apache.spark.sql.functions.{col, round}
-      clips(spark, sfDir)
+      // read the just-written table back rather than re-running the
+      // sine synthesis + codec encode (the dominant staging cost) —
+      // identical bytes by construction
+      spark.read.parquet(dir).as[Clip]
         .flatMap { c =>
           if (c.codec == "unknown") None // quarantine path: no decode truth
           else {

@@ -106,4 +106,41 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     assert(h1 == h2, "replayed output files must be byte-identical")
     assert(s1.readCommitted(spark).count() == 1000)
   }
+
+  test("empty committed batches: readCommitted returns 0 rows (no schema-inference crash); lineage parses") {
+    // foreachBatch fires for empty micro-batches too; FileFormatWriter
+    // writes only _SUCCESS for them, so a sink whose every batch is
+    // empty used to crash spark.read.parquet with unreadable-schema —
+    // PipelineMain's reconciliation summary must survive this.
+    val base = Files.createTempDirectory("eo_sink_empty_").toString
+    val sink = new ExactlyOnceSink(base, Seq("id"))
+    val empty = Seq.empty[(Long, String)].toDF("id", "payload")
+    sink.write(empty, 0)
+    sink.write(empty, 1)
+    assert(sink.committedBatchIds == Seq(0L, 1L))
+    assert(sink.readCommitted(spark).count() == 0)
+    val lin = sink.lineage
+    assert(lin.map(_.rows) == Seq(0L, 0L))
+    assert(lin.forall(b => b.partitionRows.sum == b.rows))
+    // a mixed sink (one empty + one non-empty batch) reads the data
+    sink.write((1 to 5).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), 2)
+    assert(sink.readCommitted(spark).count() == 5)
+  }
+
+  test("corrupt lineage file falls back to the commit marker; both unreadable fails with the batch id") {
+    val base = Files.createTempDirectory("eo_sink_lin_").toString
+    val sink = new ExactlyOnceSink(base, Seq("id"))
+    sink.write((1 to 10).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), 0)
+    val linFile = java.nio.file.Paths.get(base, "_lineage", "0.json")
+    val intact = sink.lineage.head
+    // truncate the lineage file mid-document → marker fallback
+    Files.writeString(linFile, Files.readString(linFile).take(20))
+    val viaMarker = sink.lineage.head
+    assert(viaMarker == intact,
+      "commit-marker fallback must reproduce the original lineage")
+    // corrupt the marker too → descriptive failure, not NoSuchElement
+    Files.writeString(java.nio.file.Paths.get(base, "_commits", "0"), "{broken")
+    val e = intercept[IllegalStateException](sink.lineage)
+    assert(e.getMessage.contains("batch 0"))
+  }
 }
