@@ -466,6 +466,40 @@ object Codecs {
     }
   }
 
+  /** Narrowband tone power at `freqHz` via the Goertzel recurrence
+    * (O(n) streaming, allocation-free), fused into the single decode
+    * pass over [[foreachPcm]] — the telephony-style tone/hum detector
+    * (the audio analogue of the reference's code-map gating, SURVEY.md
+    * §2.7). The oracle's ground truth recomputes the same quantity by
+    * DIRECT DFT accumulation ([[IndependentDecoder.tonePower]]) — a
+    * different algorithm and numeric path, so agreement is evidence,
+    * not a tautology.
+    */
+  def goertzelPowerAt(codec: String, bytes: Array[Byte], srHz: Int,
+      freqHz: Double): Either[String, Double] = {
+    require(srHz > 0, s"srHz must be positive: $srHz")
+    require(freqHz > 0 && freqHz < srHz / 2.0,
+      s"probe frequency $freqHz outside (0, ${srHz / 2.0}) for sr $srHz")
+    val w = 2.0 * math.Pi * freqHz / srHz
+    val coeff = 2.0 * math.cos(w)
+    var s1 = 0.0 // s[n-1]
+    var s2 = 0.0 // s[n-2]
+    foreachPcm(codec, bytes) { s =>
+      val x = s / 32768.0
+      val s0 = x + coeff * s1 - s2
+      s2 = s1
+      s1 = s0
+    }.flatMap { n =>
+      if (n == 0) Left("no samples")
+      else {
+        // |X(f)|² from the recurrence tail; normalized by n² so a unit
+        // sine at exactly f yields ~(amplitude/2)² independent of length
+        val mag2 = s1 * s1 + s2 * s2 - coeff * s1 * s2
+        Right(mag2 / (n.toDouble * n.toDouble))
+      }
+    }
+  }
+
   /** Fused decode → linear resample → RMS: streams samples through the
     * interpolator, materializing NEITHER the input nor the output
     * array (the unfused decode+[[resampleLinear]] pair allocates ~2

@@ -134,4 +134,27 @@ object IndependentDecoder {
     Stats(samples.length, math.sqrt(sumSq / samples.length), peak.toDouble,
       zc, clipped)
   }
+
+  /** Normalized tone power |X(f)|²/n² by DIRECT DFT accumulation
+    * (cos/sin running sums) — the ground-truth twin of the engine's
+    * Goertzel recurrence ([[graft.audio.Codecs.goertzelPowerAt]]).
+    * Different algorithm, different floating-point path: the two agree
+    * to ~1e-9 absolute (CodecsSpec bounds it), which survives the
+    * round(3) the q58 oracle compares at by >5 orders of magnitude.
+    */
+  def tonePower(samples: Array[Float], srHz: Int, freqHz: Double): Double = {
+    require(samples.nonEmpty, "tonePower of empty PCM")
+    val w = 2.0 * math.Pi * freqHz / srHz
+    var re = 0.0
+    var im = 0.0
+    var i = 0
+    while (i < samples.length) {
+      val x = samples(i).toDouble
+      re += x * math.cos(w * i)
+      im -= x * math.sin(w * i)
+      i += 1
+    }
+    val n = samples.length.toDouble
+    (re * re + im * im) / (n * n)
+  }
 }

@@ -264,6 +264,57 @@ object ExtraQueries {
               |  FROM clips WHERE codec <> 'unknown')
               |SELECT clip_id, codec, sr_hz, n_in,
               |  CAST((CAST(n_in - 1 AS BIGINT) * 16000) // sr_hz + 1 AS INT) AS n_out
-              |FROM m ORDER BY clip_id, codec, sr_hz, n_in""".stripMargin))
+              |FROM m ORDER BY clip_id, codec, sr_hz, n_in""".stripMargin)),
+
+    // --------------- q58 narrowband tone detection (Goertzel, 500 Hz)
+    // The telephony-style tone/hum detector over the binary audio
+    // column: one fused decode pass per clip runs the Goertzel
+    // recurrence (Codecs.goertzelPowerAt — O(n) streaming, allocation-
+    // free, no PCM materialized). Value-oracled against ground truth
+    // computed by DIRECT DFT accumulation on the independently-decoded
+    // samples (ClipGen staging, IndependentDecoder.tonePower): a
+    // different algorithm and numeric path that agrees to ~1e-9,
+    // compared at round(3). The detection class is 'short' under 0.5 s
+    // of signal — below that the nearest off-tone component (10 Hz away
+    // at worst) leaks above any fixed threshold through the
+    // rectangular-window sinc; with ≥0.5 s the 0.005 threshold sits
+    // ≥5× above worst-case leakage and ≥3× below the weakest true
+    // tone, so the flag is robust to the cross-implementation 1e-11
+    // noise. ~4% of clips carry the 500 Hz component (seed % 23 = 0).
+    QueryDef(
+      "q58_tone_detect",
+      (s, d) => {
+        import s.implicits._
+        graft.synth.ClipGen.stagedClips(s, d)
+          .flatMap { c =>
+            if (c.codec == "unknown") None
+            else graft.audio.Codecs
+              .goertzelPowerAt(c.codec, c.bytes, c.sr_hz, 500.0)
+              .toOption.map { p =>
+                // 3-valued string, not a nullable boolean: the driver's
+                // pandas compare coerces BOOLEAN-with-NULLs to float NaN
+                // on the DuckDB side but keeps None on the parquet side
+                val cls =
+                  if (c.dur_ms < 500) "short"
+                  else if (p > 0.005) "tone"
+                  else "none"
+                (c.clip_id, c.event_time, c.sr_hz, c.dur_ms, p, cls)
+              }
+          }
+          .toDF("clip_id", "event_time", "sr_hz", "dur_ms",
+            "tone_power_raw", "tone_class")
+          .select(col("clip_id"), col("event_time"), col("sr_hz"),
+            col("dur_ms"), round(col("tone_power_raw"), 3).as("tone_power"),
+            col("tone_class"))
+          .orderBy(col("clip_id"), col("event_time"))
+      },
+      Some(s"""WITH clips AS (${graft.synth.ClipGen.metaSql}),
+              |exp AS (SELECT * FROM read_parquet('__CLIPS_EXPECTED__/*.parquet'))
+              |SELECT c.clip_id, c.event_time, c.sr_hz, c.dur_ms, e.tone_power,
+              |  CASE WHEN e.tone_detected IS NULL THEN 'short'
+              |       WHEN e.tone_detected THEN 'tone' ELSE 'none' END AS tone_class
+              |FROM clips c JOIN exp e ON e.clip_id = c.clip_id AND e.event_time = c.event_time
+              |WHERE c.codec <> 'unknown'
+              |ORDER BY c.clip_id, c.event_time""".stripMargin))
   )
 }

@@ -153,7 +153,7 @@ object ClipGen {
     * version a staged copy built by older synth code would be served
     * as "fresh" forever.
     */
-  private val SynthVersion = "synth-v2"
+  private val SynthVersion = "synth-v3" // v3: + tone_power/tone_detected (q58)
 
   def sourceFingerprint(sfDir: String): String = {
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
@@ -199,18 +199,29 @@ object ClipGen {
         .flatMap { c =>
           if (c.codec == "unknown") None // quarantine path: no decode truth
           else {
-            val st = graft.audio.IndependentDecoder.stats(
-              graft.audio.IndependentDecoder.decode(c.codec, c.bytes))
+            val dec = graft.audio.IndependentDecoder.decode(c.codec, c.bytes)
+            val st = graft.audio.IndependentDecoder.stats(dec)
+            // 500 Hz probe ground truth by direct DFT (the engine uses
+            // the Goertzel recurrence — independent numeric path). The
+            // detection flag needs ≥0.5 s of signal: at shorter
+            // durations the nearest off-tone component (10 Hz away at
+            // worst) leaks above any fixed threshold (rectangular-
+            // window sinc ≥ 0.64 at Δf·T = 0.5), so it is NULL there.
+            val p = graft.audio.IndependentDecoder.tonePower(dec, c.sr_hz, 500.0)
+            val detected: Option[Boolean] =
+              if (c.dur_ms >= 500) Some(p > 0.005) else None
             Some((c.clip_id, c.event_time, st.n, st.rms, st.peak,
-              st.zeroCrossings, st.clipped))
+              st.zeroCrossings, st.clipped, p, detected))
           }
         }
         .toDF("clip_id", "event_time", "n_samples", "rms_raw", "peak_raw",
-          "zero_crossings", "clipped")
+          "zero_crossings", "clipped", "tone_power_raw", "tone_detected")
         .select(col("clip_id"), col("event_time"), col("n_samples"),
           round(col("rms_raw"), 4).as("rms"),
           round(col("peak_raw"), 4).as("peak"),
-          col("zero_crossings"), col("clipped"))
+          col("zero_crossings"), col("clipped"),
+          round(col("tone_power_raw"), 3).as("tone_power"),
+          col("tone_detected"))
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(clipsExpectedPath(sfDir))
       java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))

@@ -188,4 +188,46 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.summarize("ulaw", null).isLeft)
     assert(Codecs.summarize("ulaw", Array.empty[Byte]).isLeft) // empty guard F3
   }
+
+  private def sine(freqHz: Double, srHz: Int, n: Int, amp: Double): Array[Float] =
+    Array.tabulate(n)(i =>
+      (amp * math.sin(2.0 * math.Pi * freqHz / srHz * i)).toFloat)
+
+  test("goertzelPowerAt: planted 500 Hz tone ≈ (A/2)²; off-tone 600 Hz ≪ threshold") {
+    val sr = 8000
+    val onTone = Codecs
+      .goertzelPowerAt("pcm16le", Codecs.encode("pcm16le", sine(500, sr, sr, 0.5)), sr, 500.0)
+      .fold(e => fail(e), identity)
+    assert(math.abs(onTone - 0.0625) < 0.001, s"expected ~A²/4=0.0625, got $onTone")
+    val offTone = Codecs
+      .goertzelPowerAt("pcm16le", Codecs.encode("pcm16le", sine(600, sr, sr, 0.5)), sr, 500.0)
+      .fold(e => fail(e), identity)
+    assert(offTone < 0.0005, s"100 Hz-away leakage over 1 s must be tiny, got $offTone")
+  }
+
+  test("goertzel recurrence agrees with the direct-DFT ground truth to 1e-9 (all codecs, synth signals)") {
+    for (codec <- Seq("pcm16le", "ulaw", "alaw", "adpcm"); seed <- Seq(0L, 23L, 46L, 7L)) {
+      // seeds 0/23/46 put f2 exactly at 500 Hz; 7 does not
+      val bytes = Codecs.encode(codec, ClipGen.samplesFor(seed, 16000, 700))
+      val engine = Codecs.goertzelPowerAt(codec, bytes, 16000, 500.0)
+        .fold(e => fail(e), identity)
+      val truth = IndependentDecoder.tonePower(
+        IndependentDecoder.decode(codec, bytes), 16000, 500.0)
+      assert(math.abs(engine - truth) < 1e-9,
+        s"$codec seed=$seed: goertzel $engine vs direct DFT $truth")
+      if (seed != 7L)
+        assert(engine > 0.015, s"$codec seed=$seed: true tone must clear 3× threshold, got $engine")
+      else
+        assert(engine < 0.0017, s"$codec seed=7: off-tone must sit ≥3× below threshold, got $engine")
+    }
+  }
+
+  test("goertzelPowerAt guards: Nyquist bound, malformed payloads") {
+    intercept[IllegalArgumentException](
+      Codecs.goertzelPowerAt("pcm16le", Array[Byte](0, 0), 8000, 4000.0))
+    intercept[IllegalArgumentException](
+      Codecs.goertzelPowerAt("pcm16le", Array[Byte](0, 0), 0, 500.0))
+    assert(Codecs.goertzelPowerAt("pcm16le", Array[Byte](1, 2, 3), 8000, 500.0).isLeft)
+    assert(Codecs.goertzelPowerAt("ulaw", Array.empty[Byte], 8000, 500.0).isLeft)
+  }
 }
