@@ -34,6 +34,11 @@ object SparkEntry {
         // the shingle join) — excluded for every engine query
         s.conf.set("spark.sql.optimizer.excludedRules",
           "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+        // ANN top-k (q36/q37/q47): thousands of query_id groups must
+        // stay on the ObjectHashAggregate hash-partial path — set here
+        // too so an externally-built session gets the engine's conf
+        s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          "65536")
         q.fn(s, d)
       }
     }.toMap

@@ -489,14 +489,12 @@ object Codecs {
       val s0 = x + coeff * s1 - s2
       s2 = s1
       s1 = s0
-    }.flatMap { n =>
-      if (n == 0) Left("no samples")
-      else {
-        // |X(f)|² from the recurrence tail; normalized by n² so a unit
-        // sine at exactly f yields ~(amplitude/2)² independent of length
-        val mag2 = s1 * s1 + s2 * s2 - coeff * s1 * s2
-        Right(mag2 / (n.toDouble * n.toDouble))
-      }
+    }.map { n =>
+      // n ≥ 1 here: foreachPcm Lefts empty payloads itself.
+      // |X(f)|² from the recurrence tail; normalized by n² so a unit
+      // sine at exactly f yields ~(amplitude/2)² independent of length
+      val mag2 = s1 * s1 + s2 * s2 - coeff * s1 * s2
+      mag2 / (n.toDouble * n.toDouble)
     }
   }
 

@@ -39,8 +39,13 @@ object ClipQueries {
             col("transcript_norm"), col("n_tokens"), col("event_time"))
           // global sort range-partitions via a sampling pass that would
           // otherwise re-run the full decode; the post-decode stats rows
-          // are tiny (no PCM), so cache them across the two passes
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // are tiny (no PCM), so materialize them once per invocation
+          // with an eager localCheckpoint — unlike persist() this holds
+          // no CacheManager entry (no session-lifetime cache growth
+          // across repeated invocations, and a later call can never
+          // silently serve a prior call's cache), and the context
+          // cleaner reclaims the blocks once the result is dropped
+          .localCheckpoint(true)
           .orderBy(col("out_id"), col("clip_id"))
       },
       Some {

@@ -147,7 +147,12 @@ class ExactlyOnceSink(outDir: String, orderCols: Seq[String]) extends Serializab
     * committed EMPTY batch contains only _SUCCESS (FileFormatWriter
     * writes no part files for empty partitions), so pass only dirs
     * with data to the reader — schema inference over exclusively
-    * empty batches would otherwise throw.
+    * empty batches would otherwise throw. Limitation: when EVERY
+    * committed batch is empty there is no parquet footer to recover
+    * the schema from, so the returned frame is `spark.emptyDataFrame`
+    * (zero columns) — count()/isEmpty work, column selection does
+    * not; callers that need the schema in that state must carry it
+    * themselves.
     */
   def readCommitted(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val dirs = committedBatchIds.map(dataDir).filter { d =>
@@ -181,12 +186,16 @@ object ExactlyOnceSink {
     try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(Files.readAllBytes(file))
-      if (node == null || !node.hasNonNull("rows") || !node.has("partitions"))
+      if (node == null || !node.hasNonNull("rows") ||
+          !node.hasNonNull("partitions") || !node.get("partitions").isArray)
         Left(s"$file missing rows/partitions fields")
       else {
-        val parts = node.get("partitions").elements().asScala
-          .map(_.get("rows").asLong()).toSeq
-        Right(BatchLineage(id, node.get("rows").asLong(), parts))
+        val elems = node.get("partitions").elements().asScala.toSeq
+        if (elems.exists(e => !e.hasNonNull("rows")))
+          Left(s"$file has a partitions element without rows")
+        else
+          Right(BatchLineage(id, node.get("rows").asLong(),
+            elems.map(_.get("rows").asLong())))
       }
     } catch {
       case e: Exception => Left(s"$file: ${e.getMessage}")

@@ -157,7 +157,12 @@ object ClipGen {
 
   def sourceFingerprint(sfDir: String): String = {
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    s"${sfDir}|${java.nio.file.Files.size(src)}|${java.nio.file.Files.getLastModifiedTime(src).toMillis}|$SynthVersion"
+    // java.version is part of the fingerprint because the expected-stat
+    // side table holds transcendental-math ground truth (tonePower's
+    // cos/sin accumulation): a JVM/libm change between staging and an
+    // engine run could move a value across a round(3) midpoint, so the
+    // ground truth must be re-derived on the runtime that checks it
+    s"${sfDir}|${java.nio.file.Files.size(src)}|${java.nio.file.Files.getLastModifiedTime(src).toMillis}|$SynthVersion|jvm=${System.getProperty("java.version")}"
   }
 
   /** Side table written at staging time next to the clip table:
