@@ -533,6 +533,44 @@ object StreamQueries {
              |  user_id, COUNT(*) AS n_events
              |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
 
+    // ------- s17 exactly-once sink across THREE micro-batches (D2×D9)
+    // s05's commit protocol under incremental arrival: three file-
+    // triggered micro-batches, one staging-write + atomic-move + marker
+    // cycle each, union of committed batches checked against the full
+    // clips oracle. The sink path is stateless per batch, so unlike
+    // s11–s16 no watermark schedule enters the oracle — what this row
+    // hardens is the commit protocol itself iterating (marker
+    // idempotence, per-batch lineage, reader over multiple batch dirs).
+    QueryDef(
+      "s17_sink_multibatch",
+      (s, d) => {
+        val dir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft_sink_mb_").toString
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, dir, eventsSchema,
+            maxFilesPerTrigger = Some(1)))
+        val sink = new ExactlyOnceSink(outDir, Seq("event_id"))
+        val q = clips.writeStream
+          .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$outDir/_checkpoint")
+          .start()
+        q.awaitTermination()
+        require(sink.committedBatchIds.size == 3,
+          s"s17 expects 3 committed micro-batches, got ${sink.committedBatchIds}")
+        val lin = sink.lineage
+        require(lin.forall(b => b.partitionRows.sum == b.rows),
+          "per-batch lineage must reconcile")
+        sink.readCommitted(s)
+          .select(col("clip_id"), col("event_id"), col("codec"),
+            col("dur_ms"), col("event_time"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql})
+              |SELECT clip_id, event_id, codec, dur_ms, event_time
+              |FROM clips ORDER BY event_id""".stripMargin)),
+
     // --------------------------- s05 exactly-once foreachBatch sink (D2)
     QueryDef(
       "s05_exactly_once_sink",

@@ -1,0 +1,285 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Validates the multi-batch oracle MODELS (s11 dedup row-level late
+  * filter, s14 tumbling append, s15 session two-round, s16 update
+  * mode) on randomized and adversarial datasets the driver fixture
+  * cannot produce. The s-queries prove the models on the fixture
+  * distribution; here the same pinned schedule facts
+  * (LateBoundarySpec) are re-implemented in plain Scala and compared
+  * against the real engine run for seeds that include: a batch holding
+  * the global max (final-flush watermark from the LAST batch), an
+  * all-late final batch, and times quantized to window boundaries so
+  * `end == watermark` ties actually occur.
+  *
+  * Schedule facts (all pinned in LateBoundarySpec):
+  *  - late filter of batch N uses max event time through batch N−2
+  *    minus the delay (−∞ for N ≤ 1);
+  *  - eviction/emission of batch N (and the final no-data flush) uses
+  *    max through batch N−1;
+  *  - agg/session late filter is WINDOW-level (drop iff window end /
+  *    prospective session end ≤ wm); fMGWS's is ROW-level (drop iff
+  *    event_time ≤ wm); emission is `end <= wm`.
+  */
+class MultiBatchModelSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Hour = 3600L * 1000
+  private val DelayMs = 2 * Hour // watermark delay: 2 hours
+  private val WindowMs = Hour    // tumbling window: 1 hour
+  private val GapMs = 30L * 60 * 1000 // session gap: 30 minutes
+  private val Base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+
+  private def meta(id: String, tMs: Long, eventId: Long): ClipMeta =
+    ClipMeta(id, 8000, 100, "c" + (eventId % 3), s"t$eventId",
+      new Timestamp(tMs), eventId)
+
+  /** Deterministic pseudo-random dataset split into 3 batches. */
+  private def gen(seed: Int): Seq[Seq[ClipMeta]] = {
+    def h(i: Int): Long = {
+      var x = seed * 2654435761L + i * 40503L
+      x ^= x >>> 16; x *= 0x45d9f3b; x ^= x >>> 16
+      math.abs(x)
+    }
+    val n = 60
+    val rows = (0 until n).map { i =>
+      val tMs = seed match {
+        case 2 => // all-late batch 2: its times sit far before b0's max
+          if (i % 3 == 2) Base + h(i) % (3 * Hour)
+          else Base + 10 * Hour + h(i) % (10 * Hour)
+        case 3 => // boundary ties: whole-hour quantized times
+          Base + (h(i) % 30) * Hour
+        case _ => // uniform; global max lands wherever the hash puts it
+          Base + h(i) % (30 * Hour)
+      }
+      meta(s"k${h(i + 1000) % 8}", tMs, i.toLong)
+    }
+    (0 until 3).map(k => rows.filter(_.event_id % 3 == k))
+  }
+
+  /** Stage the 3 batches as parquet files with ordered mtimes and run
+    * `op` on the file stream (1 file per trigger, AvailableNow).
+    */
+  private def runEngine(batches: Seq[Seq[ClipMeta]], mode: String)(
+      op: DataFrame => DataFrame): Seq[org.apache.spark.sql.Row] = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("mb_model_").toString
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$dir/stage$i"
+      rows.toDS().coalesce(1).write.parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator()
+      var p: java.nio.file.Path = null
+      while (part.hasNext) {
+        val f = part.next()
+        if (f.getFileName.toString.endsWith(".parquet")) p = f
+      }
+      val target = Paths.get(dir, f"b$i%d.parquet")
+      Files.move(p, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 5000L))
+      graft.sink.FsUtil.deleteRecursively(Paths.get(stage))
+    }
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[ClipMeta]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("event_time", col("event_time").cast("timestamp"))
+      .withWatermark("event_time", "2 hours")
+    val out = op(stream)
+    val name = s"mb_model_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).collect().toSeq
+  }
+
+  // ------------------------------------------------- schedule helpers
+
+  private def maxTime(rows: Seq[ClipMeta]): Option[Long] =
+    if (rows.isEmpty) None else Some(rows.map(_.event_time.getTime).max)
+
+  /** wmLate(k): late-filter watermark of batch k (max through k−2). */
+  private def wmLate(batches: Seq[Seq[ClipMeta]], k: Int): Option[Long] =
+    maxTime(batches.take(k - 1).flatten).map(_ - DelayMs)
+
+  /** Final-flush eviction watermark (max over all batches). */
+  private def wmFinal(batches: Seq[Seq[ClipMeta]]): Option[Long] =
+    maxTime(batches.flatten).map(_ - DelayMs)
+
+  private def winStart(tMs: Long): Long = Math.floorDiv(tMs, WindowMs) * WindowMs
+  private def winEnd(tMs: Long): Long = winStart(tMs) + WindowMs
+
+  /** Rows admitted by the WINDOW-level late filter (agg/session path
+    * uses prospective end = window end resp. ts + gap).
+    */
+  private def admitted(batches: Seq[Seq[ClipMeta]],
+      prospectiveEnd: Long => Long): Seq[ClipMeta] =
+    batches.zipWithIndex.flatMap { case (rows, k) =>
+      wmLate(batches, k) match {
+        case None => rows
+        case Some(wm) => rows.filter(r => prospectiveEnd(r.event_time.getTime) > wm)
+      }
+    }
+
+  // ------------------------------------------------------- the models
+
+  /** s14 model: tumbling append = aggregate survivors, emit closed. */
+  private def modelTumblingAppend(
+      batches: Seq[Seq[ClipMeta]]): Set[(Long, String, Long)] = {
+    val wmF = wmFinal(batches).getOrElse(Long.MinValue)
+    admitted(batches, winEnd)
+      .groupBy(r => (winStart(r.event_time.getTime), r.codec))
+      .collect {
+        case ((ws, codec), rs) if ws + WindowMs <= wmF =>
+          (ws, codec, rs.size.toLong)
+      }
+      .toSet
+  }
+
+  /** s16 model: update mode = cumulative emission per touched batch. */
+  private def modelTumblingUpdate(
+      batches: Seq[Seq[ClipMeta]]): Seq[(Long, String, Long)] = {
+    val admittedPerBatch = batches.zipWithIndex.map { case (rows, k) =>
+      wmLate(batches, k) match {
+        case None => rows
+        case Some(wm) => rows.filter(r => winEnd(r.event_time.getTime) > wm)
+      }
+    }
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val counts = scala.collection.mutable.Map.empty[(Long, String), Long]
+    admittedPerBatch.foreach { rows =>
+      val touched = rows.groupBy(r => (winStart(r.event_time.getTime), r.codec))
+      touched.foreach { case (key, rs) =>
+        val c = counts.getOrElse(key, 0L) + rs.size
+        counts(key) = c
+        emissions += ((key._1, key._2, c))
+      }
+    }
+    emissions.toSeq.sorted
+  }
+
+  /** s15 model: iterative per-batch sessionization with emission. */
+  private def modelSessionAppend(
+      batches: Seq[Seq[ClipMeta]]): Set[(Long, Long, String, Long)] = {
+    type Row = (String, Long) // (key, tMs) — key here is codec
+    def sessionize(rows: Seq[Row]): Seq[(String, Long, Long, Long)] =
+      rows.groupBy(_._1).toSeq.flatMap { case (key, rs) =>
+        val ts = rs.map(_._2).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var start = ts.head; var end = ts.head + GapMs; var n = 1L
+        ts.tail.foreach { t =>
+          if (t < end) { end = t + GapMs; n += 1 }
+          else { sessions += ((start, end, n)); start = t; end = t + GapMs; n = 1 }
+        }
+        sessions += ((start, end, n))
+        sessions.map(s => (key, s._1, s._2, s._3))
+      }
+    var state = Seq.empty[Row]
+    val emitted = scala.collection.mutable.Set.empty[(Long, Long, String, Long)]
+    batches.zipWithIndex.foreach { case (rows, k) =>
+      val adm = (wmLate(batches, k) match {
+        case None => rows
+        case Some(wm) => rows.filter(r => r.event_time.getTime + GapMs > wm)
+      }).map(r => (r.codec, r.event_time.getTime))
+      val all = state ++ adm
+      // eviction at end of batch k uses max through batch k−1 … but
+      // the last data batch is followed by the final flush, so only
+      // intermediate evictions matter for which ROWS leave the state;
+      // emission content is unaffected (proof in s15's scaladoc)
+      val wmE = maxTime(batches.take(k + 1).flatten)
+        .map(_ - DelayMs).getOrElse(Long.MinValue)
+      val sessions = sessionize(all)
+      val (close, keep) = sessions.partition(_._3 <= wmE)
+      emitted ++= close.map(s => (s._2, s._3, s._1, s._4))
+      state = all.filter { case (key, t) =>
+        keep.exists(s => s._1 == key && t >= s._2 && t < s._3)
+      }
+    }
+    // final flush
+    val wmF = wmFinal(batches).getOrElse(Long.MinValue)
+    emitted ++= sessionize(state).filter(_._3 <= wmF)
+      .map(s => (s._2, s._3, s._1, s._4))
+    emitted.toSet
+  }
+
+  /** s11 model: keyed dedup with the ROW-level late filter. */
+  private def modelDedup(
+      batches: Seq[Seq[ClipMeta]]): Set[(String, Int, String)] = {
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    val out = scala.collection.mutable.Set.empty[(String, Int, String)]
+    batches.zipWithIndex.foreach { case (rows, k) =>
+      val adm = wmLate(batches, k) match {
+        case None => rows
+        case Some(wm) => rows.filter(_.event_time.getTime > wm)
+      }
+      adm.sortBy(r => (r.event_time.getTime, r.event_id)).foreach { r =>
+        val i = occ.getOrElse(r.clip_id, 0) + 1
+        occ(r.clip_id) = i
+        val outId = if (i == 1) r.clip_id else s"${r.clip_id}_${i - 1}"
+        out += ((r.clip_id, i, outId))
+      }
+    }
+    out.toSet
+  }
+
+  // -------------------------------------------------------- the tests
+
+  private val seeds = Seq(1, 2, 3, 7)
+
+  test("tumbling append model matches the engine on adversarial seeds (s14)") {
+    seeds.foreach { seed =>
+      val batches = gen(seed)
+      val got = runEngine(batches, "append")(
+        st => ClipPipeline.tumblingRollup(st, "1 hour"))
+        .map(r => (r.getTimestamp(0).getTime, r.getString(2), r.getLong(3)))
+        .toSet
+      assert(got == modelTumblingAppend(batches), s"seed $seed")
+    }
+  }
+
+  test("tumbling update model matches the engine on adversarial seeds (s16)") {
+    seeds.foreach { seed =>
+      val batches = gen(seed)
+      val got = runEngine(batches, "update")(
+        st => ClipPipeline.tumblingRollup(st, "1 hour"))
+        .map(r => (r.getTimestamp(0).getTime, r.getString(2), r.getLong(3)))
+        .toSeq.sorted
+      assert(got == modelTumblingUpdate(batches), s"seed $seed")
+    }
+  }
+
+  test("session append model matches the engine on adversarial seeds (s15)") {
+    seeds.foreach { seed =>
+      val batches = gen(seed)
+      val got = runEngine(batches, "append")(
+        st => ClipPipeline.sessionRollup(st, "event_time", "codec", "30 minutes"))
+        .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+          r.getString(2), r.getLong(3)))
+        .toSet
+      assert(got == modelSessionAppend(batches), s"seed $seed")
+    }
+  }
+
+  test("dedup model (row-level late filter) matches the engine on adversarial seeds (s11)") {
+    seeds.foreach { seed =>
+      val batches = gen(seed)
+      val got = runEngine(batches, "append") { st =>
+        ClipPipeline.dedupStage(st.as[ClipMeta],
+          stateTtlMs = 1000L * 86400 * 365).toDF()
+      }
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .toSet
+      assert(got == modelDedup(batches), s"seed $seed")
+    }
+  }
+}
