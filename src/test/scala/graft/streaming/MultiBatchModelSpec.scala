@@ -270,6 +270,154 @@ class MultiBatchModelSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------- multi-batch LEFT OUTER stream-stream join
+
+  /** Two-source engine run: clips and updates each staged as 3 files
+    * with ordered mtimes; both sources release one file per trigger,
+    * so micro-batch k pairs (c_k, u_k).
+    */
+  private def runJoinEngine(
+      clipBatches: Seq[Seq[ClipMeta]],
+      updBatches: Seq[Seq[(String, String, Timestamp)]])
+      : Seq[org.apache.spark.sql.Row] = {
+    import java.nio.file.{Files, Paths}
+    def stageFiles[T <: Product : org.apache.spark.sql.Encoder](
+        batches: Seq[Seq[T]], cols: Seq[String]): String = {
+      val dir = Files.createTempDirectory("mb_join_").toString
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        val stage = s"$dir/stage$i"
+        rows.toDS().toDF(cols: _*).coalesce(1).write.parquet(stage)
+        val it = Files.list(Paths.get(stage)).iterator()
+        var p: java.nio.file.Path = null
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet")) p = f
+        }
+        val target = Paths.get(dir, f"b$i%d.parquet")
+        Files.move(p, target)
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 5000L))
+        graft.sink.FsUtil.deleteRecursively(Paths.get(stage))
+      }
+      dir
+    }
+    val clipDir = stageFiles(clipBatches.map(_.map(c =>
+      (c.clip_id, c.event_time, c.event_id))), Seq("clip_id", "event_time", "event_id"))
+    val updDir = stageFiles(updBatches, Seq("clip_id", "u_transcript", "u_event_time"))
+    import org.apache.spark.sql.types._
+    val clips = spark.readStream
+      .schema(StructType(Seq(StructField("clip_id", StringType),
+        StructField("event_time", TimestampType), StructField("event_id", LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(clipDir)
+    val updates = spark.readStream
+      .schema(StructType(Seq(StructField("clip_id", StringType),
+        StructField("u_transcript", StringType),
+        StructField("u_event_time", TimestampType))))
+      .option("maxFilesPerTrigger", 1).parquet(updDir)
+    val joined = ClipPipeline
+      .transcriptUpdateLeftJoin(clips, updates, "2 hours", "10 MINUTES")
+      .select(col("event_id"), col("u_transcript"))
+    val name = s"mb_join_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).collect().toSeq
+  }
+
+  /** LEFT OUTER join model over the two-sided watermark schedule. The
+    * global watermark is the MIN over both sides' column watermarks
+    * (default multi-watermark policy); late filters are row-level with
+    * the two-batch lag; a clip is evicted (null-emitting if unmatched)
+    * at the first batch whose eviction watermark exceeds its join
+    * window t+W, an update silently once the watermark passes its own
+    * time; a match emits iff the earlier-arriving side is still in
+    * state when the later side's batch runs (same-batch pairs always
+    * emit — eviction happens at end of batch).
+    */
+  private def modelLeftJoin(
+      clipBatches: Seq[Seq[ClipMeta]],
+      updBatches: Seq[Seq[(String, String, Timestamp)]],
+      windowMs: Long): Set[(Long, Option[String])] = {
+    val nB = clipBatches.size
+    def gwm(m: Int): Option[Long] = {
+      // watermark computed from data through batch m: min of sides
+      val mc = maxTime(clipBatches.take(m + 1).flatten)
+      val mu = updBatches.take(m + 1).flatten.map(_._3.getTime) match {
+        case Nil => None; case ts => Some(ts.max)
+      }
+      for (a <- mc; b <- mu) yield math.min(a, b) - DelayMs
+    }
+    def late(n: Int): Long =
+      (if (n >= 2) gwm(n - 2) else None).getOrElse(Long.MinValue)
+    def evict(n: Int): Long = gwm(n - 1).getOrElse(Long.MinValue) // n = nB → flush
+    val survC = clipBatches.zipWithIndex.flatMap { case (rows, k) =>
+      rows.filter(_.event_time.getTime > late(k)).map(r => (r, k))
+    }
+    val survU = updBatches.zipWithIndex.flatMap { case (rows, k) =>
+      rows.filter(_._3.getTime > late(k)).map(r => (r, k))
+    }
+    // first batch index (data batches 1..nB−1, flush = nB) that evicts
+    def evictBatch(deadline: Long): Option[Int] =
+      (1 to nB).find(k => deadline < evict(k))
+    val out = scala.collection.mutable.Set.empty[(Long, Option[String])]
+    val matchedClips = scala.collection.mutable.Set.empty[Long]
+    for (((c, nc), (u, nu)) <- for (x <- survC; y <- survU) yield (x, y)) {
+      val t = c.event_time.getTime
+      val ut = u._3.getTime
+      val inWindow = c.clip_id == u._1 && ut >= t && ut <= t + windowMs
+      if (inWindow) {
+        val emitted =
+          if (nc == nu) true
+          else if (nc < nu) evictBatch(t + windowMs).forall(_ >= nu)
+          else evictBatch(ut).forall(_ >= nc)
+        if (emitted) {
+          out += ((c.event_id, Some(u._2)))
+          matchedClips += c.event_id
+        }
+      }
+    }
+    survC.foreach { case (c, _) =>
+      val t = c.event_time.getTime
+      if (!matchedClips.contains(c.event_id) && evictBatch(t + windowMs).isDefined)
+        out += ((c.event_id, None))
+    }
+    out.toSet
+  }
+
+  private def genJoin(seed: Int): (Seq[Seq[ClipMeta]], Seq[Seq[(String, String, Timestamp)]]) = {
+    val clipBatches = gen(seed)
+    def h(i: Int): Long = {
+      var x = seed * 911382323L + i * 972663749L
+      x ^= x >>> 15; x *= 0x2545f491; x ^= x >>> 13
+      math.abs(x)
+    }
+    val allClips = clipBatches.flatten
+    val upds = allClips.zipWithIndex.collect {
+      case (c, i) if h(i) % 2 == 0 =>
+        // half in-window (0..10 min after the clip), half just outside
+        val off = if (h(i + 500) % 2 == 0) h(i + 900) % (10L * 60 * 1000)
+                  else 10L * 60 * 1000 + 1 + h(i + 900) % (60L * 60 * 1000)
+        (c.clip_id, s"u$i", new Timestamp(c.event_time.getTime + off), h(i + 700) % 3)
+    }
+    val updBatches = (0 until 3).map(k =>
+      upds.filter(_._4 == k).map(u => (u._1, u._2, u._3)))
+    (clipBatches, updBatches)
+  }
+
+  test("multi-batch LEFT OUTER join model (two-sided watermark, eviction, lost-then-null) matches the engine") {
+    seeds.foreach { seed =>
+      val (cb, ub) = genJoin(seed)
+      val got = runJoinEngine(cb, ub)
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      val want = modelLeftJoin(cb, ub, 10L * 60 * 1000)
+      assert(got == want,
+        s"seed $seed: extra=${got -- want} missing=${want -- got}")
+      assert(want.exists(_._2.isEmpty) && want.exists(_._2.nonEmpty),
+        s"seed $seed must exercise both null and matched rows")
+    }
+  }
+
   test("dedup model (row-level late filter) matches the engine on adversarial seeds (s11)") {
     seeds.foreach { seed =>
       val batches = gen(seed)
