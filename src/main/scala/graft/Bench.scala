@@ -118,13 +118,21 @@ object Bench {
           -1.0
       }
 
+    // SPARK_GRAFT_SKIP_SCALING=1 skips the multi-minute two-pass
+    // scaling probe for local iteration (e.g. the data-scaling curve
+    // in BENCH.md §4, which times the suite at several SFs and does
+    // not need a fresh core-scaling measurement per SF). The driver
+    // runs without the flag, so BENCH_r*.json always carries the block.
     val scalingJson =
-      try ScalingBench.scalingEvidence(sfDir)
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] scaling evidence failed: ${e.getMessage}")
-          """{"error":"scaling evidence failed"}"""
-      }
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING"))
+        """{"skipped":"SPARK_GRAFT_SKIP_SCALING set"}"""
+      else
+        try ScalingBench.scalingEvidence(sfDir)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] scaling evidence failed: ${e.getMessage}")
+            """{"error":"scaling evidence failed"}"""
+        }
 
     println(
       f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"throughput":$tp,"stream_p99_batch_ms":$p99Ms%.0f,"scaling":$scalingJson,"cpus":$cpus,"sf":"$sfDir"}""")
