@@ -205,6 +205,21 @@ class CodecsSpec extends AnyFunSuite {
     assert(offTone < 0.0005, s"100 Hz-away leakage over 1 s must be tiny, got $offTone")
   }
 
+  test("goertzel recurrence agrees with the direct-DFT ground truth to 1e-9 at the MAXIMUM clip length (44.1 kHz × 2 s)") {
+    // recurrence error grows with n; the fixture's largest clip is
+    // 44100 Hz × 2000 ms = 88200 samples — bound the bound where it
+    // is loosest, not just at the small sizes the main test uses
+    for (seed <- Seq(0L, 7L)) {
+      val bytes = Codecs.encode("pcm16le", ClipGen.samplesFor(seed, 44100, 2000))
+      val engine = Codecs.goertzelPowerAt("pcm16le", bytes, 44100, 500.0)
+        .fold(e => fail(e), identity)
+      val truth = IndependentDecoder.tonePower(
+        IndependentDecoder.decode("pcm16le", bytes), 44100, 500.0)
+      assert(math.abs(engine - truth) < 1e-9,
+        s"seed=$seed n=88200: goertzel $engine vs direct DFT $truth")
+    }
+  }
+
   test("goertzel recurrence agrees with the direct-DFT ground truth to 1e-9 (all codecs, synth signals)") {
     for (codec <- Seq("pcm16le", "ulaw", "alaw", "adpcm"); seed <- Seq(0L, 23L, 46L, 7L)) {
       // seeds 0/23/46 put f2 exactly at 500 Hz; 7 does not

@@ -59,6 +59,9 @@ class MultiBatchModelSpec extends AnyFunSuite {
           else Base + 10 * Hour + h(i) % (10 * Hour)
         case 3 => // boundary ties: whole-hour quantized times
           Base + (h(i) % 30) * Hour
+        case 4 => // exactly-gap spacing: 30-min quantized → session
+                  // merges at the inclusive t == end boundary
+          Base + (h(i) % 60) * GapMs
         case _ => // uniform; global max lands wherever the hash puts it
           Base + h(i) % (30 * Hour)
       }
@@ -176,9 +179,13 @@ class MultiBatchModelSpec extends AnyFunSuite {
       rows.groupBy(_._1).toSeq.flatMap { case (key, rs) =>
         val ts = rs.map(_._2).sorted
         val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        // merge is INCLUSIVE at exactly-gap distance: events 10:00 and
+        // 10:30 with a 30-minute gap form ONE session (verified against
+        // Spark's session_window; same `diff > gap → new session` rule
+        // as the s04/s15 oracles)
         var start = ts.head; var end = ts.head + GapMs; var n = 1L
         ts.tail.foreach { t =>
-          if (t < end) { end = t + GapMs; n += 1 }
+          if (t <= end) { end = t + GapMs; n += 1 }
           else { sessions += ((start, end, n)); start = t; end = t + GapMs; n = 1 }
         }
         sessions += ((start, end, n))
@@ -234,7 +241,7 @@ class MultiBatchModelSpec extends AnyFunSuite {
 
   // -------------------------------------------------------- the tests
 
-  private val seeds = Seq(1, 2, 3, 7)
+  private val seeds = Seq(1, 2, 3, 4, 7)
 
   test("tumbling append model matches the engine on adversarial seeds (s14)") {
     seeds.foreach { seed =>
