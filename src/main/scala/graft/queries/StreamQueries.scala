@@ -36,6 +36,32 @@ object StreamQueries {
        |  occ > 1 AS is_dup, event_time, transcript
        |FROM r ORDER BY clip_id, occurrence""".stripMargin
 
+  /** The 3-batch watermark-schedule oracle shared by s11 (fMGWS) and
+    * s18 (transformWithState on RocksDB) — one schedule, two state
+    * APIs, identical required output.
+    */
+  private val multiBatchDedupOracleSql: Option[String] =
+    Some(s"""WITH clips AS (${ClipGen.metaSql}),
+            |r0 AS (SELECT clip_id, event_time, transcript,
+            |    CAST(row_number() OVER (PARTITION BY clip_id ORDER BY event_time, event_id) AS INT) AS occ
+            |  FROM clips WHERE event_id % 3 = 0),
+            |k0 AS (SELECT clip_id, COUNT(*) AS n FROM r0 GROUP BY clip_id),
+            |r1 AS (SELECT c.clip_id, c.event_time, c.transcript,
+            |    CAST(row_number() OVER (PARTITION BY c.clip_id ORDER BY c.event_time, c.event_id) + COALESCE(k0.n, 0) AS INT) AS occ
+            |  FROM clips c LEFT JOIN k0 ON c.clip_id = k0.clip_id
+            |  WHERE c.event_id % 3 = 1),
+            |k01 AS (SELECT clip_id, COUNT(*) AS n FROM clips WHERE event_id % 3 IN (0, 1) GROUP BY clip_id),
+            |wm AS (SELECT max(event_time) - INTERVAL 12 HOUR AS w FROM clips WHERE event_id % 3 = 0),
+            |r2 AS (SELECT c.clip_id, c.event_time, c.transcript,
+            |    CAST(row_number() OVER (PARTITION BY c.clip_id ORDER BY c.event_time, c.event_id) + COALESCE(k01.n, 0) AS INT) AS occ
+            |  FROM clips c LEFT JOIN k01 ON c.clip_id = k01.clip_id
+            |  WHERE c.event_id % 3 = 2 AND c.event_time > (SELECT w FROM wm)),
+            |u AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+            |SELECT clip_id, occ AS occurrence,
+            |  CASE WHEN occ = 1 THEN clip_id ELSE clip_id || '_' || (occ - 1) END AS out_id,
+            |  occ > 1 AS is_dup, event_time, transcript
+            |FROM u ORDER BY clip_id, occurrence""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     // --------------------------------- s01 streaming tumbling rollup (D4)
     QueryDef(
@@ -144,26 +170,39 @@ object StreamQueries {
           .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
           .orderBy(col("clip_id"), col("occurrence"))
       },
-      Some(s"""WITH clips AS (${ClipGen.metaSql}),
-              |r0 AS (SELECT clip_id, event_time, transcript,
-              |    CAST(row_number() OVER (PARTITION BY clip_id ORDER BY event_time, event_id) AS INT) AS occ
-              |  FROM clips WHERE event_id % 3 = 0),
-              |k0 AS (SELECT clip_id, COUNT(*) AS n FROM r0 GROUP BY clip_id),
-              |r1 AS (SELECT c.clip_id, c.event_time, c.transcript,
-              |    CAST(row_number() OVER (PARTITION BY c.clip_id ORDER BY c.event_time, c.event_id) + COALESCE(k0.n, 0) AS INT) AS occ
-              |  FROM clips c LEFT JOIN k0 ON c.clip_id = k0.clip_id
-              |  WHERE c.event_id % 3 = 1),
-              |k01 AS (SELECT clip_id, COUNT(*) AS n FROM clips WHERE event_id % 3 IN (0, 1) GROUP BY clip_id),
-              |wm AS (SELECT max(event_time) - INTERVAL 12 HOUR AS w FROM clips WHERE event_id % 3 = 0),
-              |r2 AS (SELECT c.clip_id, c.event_time, c.transcript,
-              |    CAST(row_number() OVER (PARTITION BY c.clip_id ORDER BY c.event_time, c.event_id) + COALESCE(k01.n, 0) AS INT) AS occ
-              |  FROM clips c LEFT JOIN k01 ON c.clip_id = k01.clip_id
-              |  WHERE c.event_id % 3 = 2 AND c.event_time > (SELECT w FROM wm)),
-              |u AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2)
-              |SELECT clip_id, occ AS occurrence,
-              |  CASE WHEN occ = 1 THEN clip_id ELSE clip_id || '_' || (occ - 1) END AS out_id,
-              |  occ > 1 AS is_dup, event_time, transcript
-              |FROM u ORDER BY clip_id, occurrence""".stripMargin)),
+      multiBatchDedupOracleSql),
+
+    // -- s18 multi-batch dedup on transformWithState + RocksDB (D1×D5)
+    // s11's schedule (3-file incremental arrival, watermark lag, late
+    // drops, cross-batch numbering) on the OTHER state API and the
+    // production state store: the Spark 4.x StatefulProcessor with
+    // typed ValueState on RocksDB must reproduce the identical
+    // occurrence numbering — same oracle as s11, verbatim. Together
+    // with s02≡s10 (single batch) this pins that the two dedup
+    // implementations agree on every oracled schedule.
+    QueryDef(
+      "s18_stream_dedup_tws_multibatch",
+      (s, d) => {
+        import s.implicits._
+        graft.streaming.TwsDedup.withRocksDB(s) {
+          val dir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
+          val clips = metaProjection(
+            StreamRunner.parquetStream(s, dir, eventsSchema,
+              maxFilesPerTrigger = Some(1)))
+            .withColumn("event_time", col("event_time").cast("timestamp"))
+            .withWatermark("event_time", "12 hours")
+            .as[ClipMeta]
+          val decided = graft.streaming.TwsDedup.dedupStageTws(clips)
+          val (table, batches) =
+            StreamRunner.runToMemoryCounted(decided.toDF(), "append")
+          require(batches == 3,
+            s"s18 oracle models exactly 3 input micro-batches, got $batches")
+          table
+            .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
+            .orderBy(col("clip_id"), col("occurrence"))
+        }
+      },
+      multiBatchDedupOracleSql),
 
     // ------------ s12 stream-stream join across THREE micro-batches (J3)
     // Cross-batch JOIN-STATE semantics under the hard oracle (the
