@@ -306,6 +306,10 @@ object ExtraQueries {
           .select(col("clip_id"), col("event_time"), col("sr_hz"),
             col("dur_ms"), round(col("tone_power_raw"), 3).as("tone_power"),
             col("tone_class"))
+          // as in p01: materialize the tiny per-clip rows once so the
+          // global sort's range-partition sampling pass doesn't re-run
+          // the full decode+Goertzel
+          .localCheckpoint(true)
           .orderBy(col("clip_id"), col("event_time"))
       },
       Some(s"""WITH clips AS (${graft.synth.ClipGen.metaSql}),
