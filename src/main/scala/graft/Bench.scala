@@ -124,7 +124,8 @@ object Bench {
     // not need a fresh core-scaling measurement per SF). The driver
     // runs without the flag, so BENCH_r*.json always carries the block.
     val scalingJson =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING"))
+      if (sys.env.get("SPARK_GRAFT_SKIP_SCALING")
+          .exists(v => v == "1" || v.equalsIgnoreCase("true")))
         """{"skipped":"SPARK_GRAFT_SKIP_SCALING set"}"""
       else
         try ScalingBench.scalingEvidence(sfDir)

@@ -41,8 +41,21 @@ class MultiBatchModelSpec extends AnyFunSuite {
   private val Base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
 
   private def meta(id: String, tMs: Long, eventId: Long): ClipMeta =
-    ClipMeta(id, 8000, 100, "c" + (eventId % 3), s"t$eventId",
+    ClipMeta(id, 8000, 100, codecOf(eventId), s"t$eventId",
       new Timestamp(tMs), eventId)
+
+  /** Grouping key for the windowed/session tests. MUST be independent
+    * of `event_id % 3` — the batch split — or every key lives in
+    * exactly one micro-batch and the cross-batch merge/cumulative
+    * paths the models exist to validate go vacuously untested (an
+    * earlier draft used `event_id % 3` itself and masked a
+    * one-batch-off eviction watermark in the session model).
+    */
+  private def codecOf(eventId: Long): String = {
+    var x = eventId * 0x9e3779b97f4a7c15L + 0x1234567
+    x ^= x >>> 17
+    "c" + math.abs(x % 3)
+  }
 
   /** Deterministic pseudo-random dataset split into 3 batches. */
   private def gen(seed: Int): Seq[Seq[ClipMeta]] = {
@@ -70,28 +83,42 @@ class MultiBatchModelSpec extends AnyFunSuite {
     (0 until 3).map(k => rows.filter(_.event_id % 3 == k))
   }
 
+  /** One batch-per-file staging dir with ordered mtimes (shared by
+    * the single-source and join runners; streams closed like
+    * StreamRunner.eventsBatchesDir does).
+    */
+  private def stageBatchFiles(batchDfs: Seq[DataFrame]): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("mb_model_").toString
+    batchDfs.zipWithIndex.foreach { case (df, i) =>
+      val stage = s"$dir/stage$i"
+      df.coalesce(1).write.parquet(stage)
+      val listing = Files.list(Paths.get(stage))
+      val part =
+        try {
+          val it = listing.iterator()
+          var p: java.nio.file.Path = null
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getFileName.toString.endsWith(".parquet")) p = f
+          }
+          p
+        } finally listing.close()
+      val target = Paths.get(dir, f"b$i%d.parquet")
+      Files.move(part, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 5000L))
+      graft.sink.FsUtil.deleteRecursively(Paths.get(stage))
+    }
+    dir
+  }
+
   /** Stage the 3 batches as parquet files with ordered mtimes and run
     * `op` on the file stream (1 file per trigger, AvailableNow).
     */
   private def runEngine(batches: Seq[Seq[ClipMeta]], mode: String)(
       op: DataFrame => DataFrame): Seq[org.apache.spark.sql.Row] = {
-    import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("mb_model_").toString
-    batches.zipWithIndex.foreach { case (rows, i) =>
-      val stage = s"$dir/stage$i"
-      rows.toDS().coalesce(1).write.parquet(stage)
-      val part = Files.list(Paths.get(stage)).iterator()
-      var p: java.nio.file.Path = null
-      while (part.hasNext) {
-        val f = part.next()
-        if (f.getFileName.toString.endsWith(".parquet")) p = f
-      }
-      val target = Paths.get(dir, f"b$i%d.parquet")
-      Files.move(p, target)
-      Files.setLastModifiedTime(target,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 5000L))
-      graft.sink.FsUtil.deleteRecursively(Paths.get(stage))
-    }
+    val dir = stageBatchFiles(batches.map(_.toDS().toDF()))
     val stream = spark.readStream
       .schema(implicitly[org.apache.spark.sql.Encoder[ClipMeta]].schema)
       .option("maxFilesPerTrigger", 1)
@@ -199,11 +226,11 @@ class MultiBatchModelSpec extends AnyFunSuite {
         case Some(wm) => rows.filter(r => r.event_time.getTime + GapMs > wm)
       }).map(r => (r.codec, r.event_time.getTime))
       val all = state ++ adm
-      // eviction at end of batch k uses max through batch k−1 … but
-      // the last data batch is followed by the final flush, so only
-      // intermediate evictions matter for which ROWS leave the state;
-      // emission content is unaffected (proof in s15's scaladoc)
-      val wmE = maxTime(batches.take(k + 1).flatten)
+      // eviction at end of batch k uses the watermark through batch
+      // k−1 (the pinned one-batch lag) — an earlier draft used
+      // through-batch-k, which closes sessions one batch early and
+      // was masked by the correlated-key generator this spec had then
+      val wmE = maxTime(batches.take(k).flatten)
         .map(_ - DelayMs).getOrElse(Long.MinValue)
       val sessions = sessionize(all)
       val (close, keep) = sessions.partition(_._3 <= wmE)
@@ -287,30 +314,11 @@ class MultiBatchModelSpec extends AnyFunSuite {
       clipBatches: Seq[Seq[ClipMeta]],
       updBatches: Seq[Seq[(String, String, Timestamp)]])
       : Seq[org.apache.spark.sql.Row] = {
-    import java.nio.file.{Files, Paths}
-    def stageFiles[T <: Product : org.apache.spark.sql.Encoder](
-        batches: Seq[Seq[T]], cols: Seq[String]): String = {
-      val dir = Files.createTempDirectory("mb_join_").toString
-      batches.zipWithIndex.foreach { case (rows, i) =>
-        val stage = s"$dir/stage$i"
-        rows.toDS().toDF(cols: _*).coalesce(1).write.parquet(stage)
-        val it = Files.list(Paths.get(stage)).iterator()
-        var p: java.nio.file.Path = null
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getFileName.toString.endsWith(".parquet")) p = f
-        }
-        val target = Paths.get(dir, f"b$i%d.parquet")
-        Files.move(p, target)
-        Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 5000L))
-        graft.sink.FsUtil.deleteRecursively(Paths.get(stage))
-      }
-      dir
-    }
-    val clipDir = stageFiles(clipBatches.map(_.map(c =>
-      (c.clip_id, c.event_time, c.event_id))), Seq("clip_id", "event_time", "event_id"))
-    val updDir = stageFiles(updBatches, Seq("clip_id", "u_transcript", "u_event_time"))
+    val clipDir = stageBatchFiles(clipBatches.map(b =>
+      b.map(c => (c.clip_id, c.event_time, c.event_id))
+        .toDF("clip_id", "event_time", "event_id")))
+    val updDir = stageBatchFiles(updBatches.map(
+      _.toDF("clip_id", "u_transcript", "u_event_time")))
     import org.apache.spark.sql.types._
     val clips = spark.readStream
       .schema(StructType(Seq(StructField("clip_id", StringType),
