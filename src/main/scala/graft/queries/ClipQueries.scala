@@ -95,6 +95,50 @@ object ClipQueries {
            |ORDER BY out_id, clip_id""".stripMargin
       }),
 
+    // -------------- p05 raw-audio-file ingestion via binaryFile (S1×M4)
+    // The "audio files land in an object store" path: a 5% slice of the
+    // clip table is staged as one RAW file per clip (no table around
+    // the bytes — identity/codec live in the filename), read back with
+    // Spark's binaryFile source, and decoded distributed with the same
+    // fused summarize kernel. Value-oracled end-to-end against the
+    // independent-decoder ground truth (the p01 machinery): filename
+    // parse → decode → stats must reproduce, per clip, exactly what the
+    // expected-stat side table derived from the table-staged bytes.
+    QueryDef(
+      "p05_binaryfile_ingest",
+      (s, d) => {
+        import s.implicits._
+        val dir = ClipGen.binaryFilesDir(s, d)
+        s.read.format("binaryFile").load(dir)
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (path, bytes) =>
+            val name = path.substring(path.lastIndexOf('/') + 1)
+              .stripSuffix(".bin")
+            val Array(us, codec, clipId) = name.split("_", 3)
+            val st = graft.audio.Codecs.summarize(codec, bytes)
+              .fold(e => throw new IllegalStateException(s"$name: $e"), identity)
+            (clipId, us.toLong, codec, st.n,
+              math.sqrt(st.sumSq / st.n), st.peak, st.zeroCrossings, st.clipped)
+          }
+          .toDF("clip_id", "us", "codec", "n_samples", "rms_raw", "peak_raw",
+            "zero_crossings", "clipped")
+          .select(col("clip_id"),
+            timestamp_micros(col("us")).cast("timestamp_ntz").as("event_time"),
+            col("codec"), col("n_samples"),
+            round(col("rms_raw"), 4).as("rms"),
+            round(col("peak_raw"), 4).as("peak"),
+            col("zero_crossings"), col("clipped"))
+          .orderBy(col("clip_id"), col("event_time"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql}),
+              |exp AS (SELECT * FROM read_parquet('__CLIPS_EXPECTED__/*.parquet'))
+              |SELECT c.clip_id, c.event_time, c.codec, e.n_samples, e.rms, e.peak,
+              |  e.zero_crossings, e.clipped
+              |FROM clips c JOIN exp e ON e.clip_id = c.clip_id AND e.event_time = c.event_time
+              |WHERE c.event_id % 20 = 1
+              |ORDER BY c.clip_id, c.event_time""".stripMargin)),
+
     // ----------------------------------- q39 broadcast lookup (first-wins)
     QueryDef(
       "q39_broadcast_lookup",

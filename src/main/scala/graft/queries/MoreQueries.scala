@@ -88,6 +88,31 @@ object MoreQueries {
              |  printf('{"id":%d,"t":"%s"}', event_id, event_type) AS js
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // -------------------------- q59 ORC sink → source roundtrip (S4×S6)
+    // Second columnar format end-to-end: the clip metadata is written
+    // to ORC (including a TIMESTAMP_NTZ column) and read back; the
+    // oracle checks the read-back rows against the pure-SQL derivation
+    // of the ORIGINAL table, so any fidelity loss in the write or read
+    // path (types, NTZ timestamps, nulls) breaks the hash. The staging
+    // write is part of the query on purpose — the roundtrip IS the
+    // operator under test.
+    QueryDef(
+      "q59_orc_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_orc_").toString
+        ClipGen.clipsMeta(s, d)
+          .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .select(col("clip_id"), col("sr_hz"), col("dur_ms"), col("codec"),
+            col("transcript"), col("event_time"), col("event_id"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql})
+              |SELECT clip_id, sr_hz, dur_ms, codec, transcript, event_time, event_id
+              |FROM clips ORDER BY event_id""".stripMargin)),
+
     // --------------------------------------- q45 exact percentiles (A3+)
     QueryDef(
       "q45_percentiles",

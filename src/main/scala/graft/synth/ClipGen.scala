@@ -234,6 +234,46 @@ object ClipGen {
     spark.read.parquet(dir).as[Clip]
   }
 
+  /** A slice of the clip table staged as RAW audio FILES — one file
+    * per clip, `<epoch_us>_<codec>_<clip_id>.bin` — for the
+    * `binaryFile`-source ingestion query (p05): the "audio files land
+    * in an object store" path, where bytes arrive with NO table
+    * around them and identity/codec must come from the path. Only
+    * `event_id % 20 == 1` clips are staged (bounds the file count at
+    * 5%; that residue can never be the `unknown` codec, which needs
+    * `event_id % 20 == 19`). Files are written from the executors
+    * (foreachPartition), not collected to the driver.
+    */
+  def binaryFilesDir(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_binfiles",
+      Paths.get(sfDir).getFileName.toString)
+    val marker = Paths.get(dir.toString + ".ok")
+    val fp = sourceFingerprint(sfDir) + "|binfiles-v1"
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == fp
+    if (!fresh) {
+      Files.deleteIfExists(marker)
+      graft.sink.FsUtil.deleteRecursively(dir)
+      Files.createDirectories(dir)
+      val target = dir.toString
+      import spark.implicits._
+      clipsMeta(spark, sfDir)
+        .filter(col("event_id") % 20 === 1)
+        .as[(String, Int, Int, String, String, LocalDateTime, Long)]
+        .foreachPartition { it: Iterator[(String, Int, Int, String, String, LocalDateTime, Long)] =>
+          it.foreach { case (clipId, srHz, durMs, codec, _, eventTime, eventId) =>
+            val us = eventTime.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              eventTime.getNano / 1000L
+            val bytes = Codecs.encode(codec, samplesFor(eventId, srHz, durMs))
+            Files.write(Paths.get(target, s"${us}_${codec}_$clipId.bin"), bytes)
+          }
+        }
+      Files.write(marker, fp.getBytes("UTF-8"))
+    }
+    dir.toString
+  }
+
   /** Late transcript updates: one per hot clip occurrence plus a slice
     * of cold clips, timestamped after the matching clip (FIXTURES.md
     * §2.2). SQL-expressible; keep in sync with [[updatesSql]].
