@@ -116,19 +116,30 @@ object ClipQueries {
             val name = path.substring(path.lastIndexOf('/') + 1)
               .stripSuffix(".bin")
             val Array(us, codec, clipId) = name.split("_", 3)
+            val usL = us.toLong
+            // LocalDateTime from UTC micros → the encoder yields
+            // TIMESTAMP_NTZ directly, independent of the session
+            // timezone (timestamp_micros().cast("timestamp_ntz")
+            // would shift on a non-UTC driver session)
+            val eventTime = java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(usL, 1000000L),
+              (Math.floorMod(usL, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)
             val st = graft.audio.Codecs.summarize(codec, bytes)
               .fold(e => throw new IllegalStateException(s"$name: $e"), identity)
-            (clipId, us.toLong, codec, st.n,
+            (clipId, eventTime, codec, st.n,
               math.sqrt(st.sumSq / st.n), st.peak, st.zeroCrossings, st.clipped)
           }
-          .toDF("clip_id", "us", "codec", "n_samples", "rms_raw", "peak_raw",
-            "zero_crossings", "clipped")
-          .select(col("clip_id"),
-            timestamp_micros(col("us")).cast("timestamp_ntz").as("event_time"),
+          .toDF("clip_id", "event_time", "codec", "n_samples", "rms_raw",
+            "peak_raw", "zero_crossings", "clipped")
+          .select(col("clip_id"), col("event_time"),
             col("codec"), col("n_samples"),
             round(col("rms_raw"), 4).as("rms"),
             round(col("peak_raw"), 4).as("peak"),
             col("zero_crossings"), col("clipped"))
+          // as in p01/q58: don't let the sort's sampling pass re-read
+          // and re-decode every staged file
+          .localCheckpoint(true)
           .orderBy(col("clip_id"), col("event_time"))
       },
       Some(s"""WITH clips AS (${ClipGen.metaSql}),
@@ -136,7 +147,7 @@ object ClipQueries {
               |SELECT c.clip_id, c.event_time, c.codec, e.n_samples, e.rms, e.peak,
               |  e.zero_crossings, e.clipped
               |FROM clips c JOIN exp e ON e.clip_id = c.clip_id AND e.event_time = c.event_time
-              |WHERE c.event_id % 20 = 1
+              |WHERE c.event_id % 40 IN (1, 3, 4, 6)
               |ORDER BY c.clip_id, c.event_time""".stripMargin)),
 
     // ----------------------------------- q39 broadcast lookup (first-wins)

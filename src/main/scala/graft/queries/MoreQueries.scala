@@ -99,10 +99,16 @@ object MoreQueries {
     QueryDef(
       "q59_orc_roundtrip",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_orc_").toString
+        // fixed per-SF dir + overwrite: the write stays inside the
+        // timed query (the roundtrip is the operator) but disk stays
+        // bounded at one copy — a fresh createTempDirectory per
+        // invocation would leak an ORC table per bench/verify pass.
+        // event_time is already TIMESTAMP_NTZ off the parquet source;
+        // no cast needed for the NTZ roundtrip to be under test.
+        val dir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_orc",
+          java.nio.file.Paths.get(d).getFileName.toString).toString
         ClipGen.clipsMeta(s, d)
-          .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
           .write.mode("overwrite").orc(dir)
         s.read.orc(dir)
           .select(col("clip_id"), col("sr_hz"), col("dur_ms"), col("codec"),

@@ -238,18 +238,22 @@ object ClipGen {
     * per clip, `<epoch_us>_<codec>_<clip_id>.bin` — for the
     * `binaryFile`-source ingestion query (p05): the "audio files land
     * in an object store" path, where bytes arrive with NO table
-    * around them and identity/codec must come from the path. Only
-    * `event_id % 20 == 1` clips are staged (bounds the file count at
-    * 5%; that residue can never be the `unknown` codec, which needs
-    * `event_id % 20 == 19`). Files are written from the executors
-    * (foreachPartition), not collected to the driver.
+    * around them and identity/codec must come from the path. Residues
+    * `event_id % 40 ∈ {1, 3, 4, 6}` are staged — 10% of clips chosen
+    * so the slice covers ALL FOUR decodable codecs (mod-4 residues
+    * 1/3/0/2) and both hot (`hot-1`) and cold (`c-N`) id shapes, and
+    * can never be the `unknown` codec (needs `event_id % 20 == 19`).
+    * A single residue mod 20 would collapse onto one codec and one
+    * hot clip_id — the correlated-modulus vacuity trap. Files are
+    * written from the executors (foreachPartition), not collected to
+    * the driver.
     */
   def binaryFilesDir(spark: SparkSession, sfDir: String): String = {
     import java.nio.file.{Files, Paths}
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_binfiles",
       Paths.get(sfDir).getFileName.toString)
     val marker = Paths.get(dir.toString + ".ok")
-    val fp = sourceFingerprint(sfDir) + "|binfiles-v1"
+    val fp = sourceFingerprint(sfDir) + "|binfiles-v2"
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == fp
     if (!fresh) {
@@ -259,7 +263,7 @@ object ClipGen {
       val target = dir.toString
       import spark.implicits._
       clipsMeta(spark, sfDir)
-        .filter(col("event_id") % 20 === 1)
+        .filter((col("event_id") % 40).isin(1, 3, 4, 6))
         .as[(String, Int, Int, String, String, LocalDateTime, Long)]
         .foreachPartition { it: Iterator[(String, Int, Int, String, String, LocalDateTime, Long)] =>
           it.foreach { case (clipId, srHz, durMs, codec, _, eventTime, eventId) =>
