@@ -235,5 +235,50 @@ object TextQueries {
               |       ELSE list_aggregate(list_transform(range(1, len(toks) - 3),
               |         i -> md5(toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)] || ' ' || toks[CAST(i+4 AS INT)])), 'min')
               |  END AS fp
-              |FROM tk ORDER BY doc_id""".stripMargin)))
+              |FROM tk ORDER BY doc_id""".stripMargin)),
+
+    // ---------------- q60 document chunking (context-window prep, 1:N)
+    // The training-pipeline op the text family was missing: split each
+    // document into fixed-size token windows (W=64) with stride 48
+    // (16-token overlap), the standard context-window preparation
+    // before tokenizer packing. nChunks = 1 + ceil(max(0, n−W)/stride)
+    // — every token is covered, the final window may be short, a doc
+    // shorter than W yields exactly one window. Pure Catalyst (split →
+    // posexplode(sequence) → slice/array_join), so at 100 TB this is a
+    // narrow 1:N map with no shuffle; chunk content is compared by md5
+    // to keep the oracle rows small while still pinning exact text.
+    // The token array is materialized at its own select boundary (the
+    // engine-wide lambda-CSE rule, BENCH.md §3.3).
+    QueryDef(
+      "q60_chunk_documents",
+      (s, d) => {
+        val w = 64
+        val stride = 48
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            split(normalizeTranscript(col("text")), " ").as("toks"))
+          .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+          .select(col("doc_id"), col("toks"), col("n"),
+            expr(s"CAST(floor((greatest(n - $w, 0) + ${stride - 1}) / $stride) AS INT)")
+              .as("extra"))
+          .select(col("doc_id"), col("toks"), col("n"),
+            posexplode(sequence(lit(0), col("extra"))).as(Seq("chunk_idx", "__x")))
+          .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+            (col("chunk_idx") * stride).cast("int").as("chunk_start"),
+            least(lit(w), col("n") - col("chunk_idx") * stride).cast("int")
+              .as("n_chunk_tokens"),
+            md5(array_join(slice(col("toks"),
+              col("chunk_idx") * stride + 1, lit(w)), " ")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+              |m AS (SELECT doc_id, toks, len(toks) AS n,
+              |    (greatest(n - 64, 0) + 47) // 48 AS extra FROM tk),
+              |e AS (SELECT doc_id, toks, n, CAST(unnest(generate_series(0, extra)) AS INT) AS chunk_idx FROM m)
+              |SELECT doc_id, chunk_idx,
+              |  CAST(chunk_idx * 48 AS INT) AS chunk_start,
+              |  CAST(least(64, n - chunk_idx * 48) AS INT) AS n_chunk_tokens,
+              |  md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
+              |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)))
 }
