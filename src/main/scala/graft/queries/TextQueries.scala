@@ -255,8 +255,13 @@ object TextQueries {
         val w = 64
         val stride = 48
         t(s, d, "documents")
-          .select(col("doc_id"),
-            split(normalizeTranscript(col("text")), " ").as("toks"))
+          .select(col("doc_id"), normalizeTranscript(col("text")).as("__norm"))
+          // empty/NULL docs produce NO chunks (the family's empty-norm
+          // → 0-token convention, q25; the length guard is null-safe
+          // on both engines — Spark's size(split(NULL)) = -1 vs
+          // DuckDB's len(NULL) = NULL would otherwise diverge)
+          .filter(length(col("__norm")) > 0)
+          .select(col("doc_id"), split(col("__norm"), " ").as("toks"))
           .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
           .select(col("doc_id"), col("toks"), col("n"),
             expr(s"CAST(floor((greatest(n - $w, 0) + ${stride - 1}) / $stride) AS INT)")
@@ -272,7 +277,8 @@ object TextQueries {
           .orderBy(col("doc_id"), col("chunk_idx"))
       },
       Some(s"""WITH tk AS (
-              |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+              |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents
+              |  WHERE length(${normSql("text")}) > 0),
               |m AS (SELECT doc_id, toks, len(toks) AS n,
               |    (greatest(n - 64, 0) + 47) // 48 AS extra FROM tk),
               |e AS (SELECT doc_id, toks, n, CAST(unnest(generate_series(0, extra)) AS INT) AS chunk_idx FROM m)

@@ -120,4 +120,44 @@ class TextFunctionsSpec extends AnyFunSuite {
       MinHash32.minhash32(sh, 8).as("b"))
     assert(both.filter(col("a") =!= col("b")).count() == 0)
   }
+
+  test("q60 chunking formula pinned across regimes the fixture never reaches (n=1..200, exact boundary, empty, NULL)") {
+    // Fixture docs top out at ~100 tokens (2 chunks), so chunk_idx ≥ 2,
+    // the exact-boundary case n−64 = k·48 (n = 112: final window ends
+    // exactly at the last token), the minimum 17-token final window
+    // (n = 113) and the empty/NULL-doc zero-chunk rule would otherwise
+    // be verified by nothing. Reference chunker implemented
+    // independently here; md5 of the joined window text included so
+    // content (not just the counts) is pinned.
+    val counts = Seq(1, 63, 64, 65, 112, 113, 200)
+    val rows = counts.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(k => s"t$k").mkString(" "), "en", "synth", 0L)
+    } ++ Seq((100L, "", "en", "synth", 0L), (101L, null: String, "en", "synth", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("q60_pin_").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.defs
+      .find(_.name == "q60_chunk_documents").get
+      .fn(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .toSet
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val want = counts.zipWithIndex.flatMap { case (n, i) =>
+      val extra = (math.max(n - 64, 0) + 47) / 48
+      (0 to extra).map { idx =>
+        val start = idx * 48
+        val toks = (start + 1 to math.min(start + 64, n)).map(k => s"t$k")
+        (i.toLong, idx, start, toks.size, md5(toks.mkString(" ")))
+      }
+    }.toSet // doc 100 (empty) and 101 (NULL) contribute NO chunks
+    assert(got == want,
+      s"extra=${got -- want}\nmissing=${want -- got}")
+    // sanity on the regimes this test exists for
+    assert(want.exists(_._2 >= 2), "must cover chunk_idx >= 2")
+    assert(want.exists(c => c._1 == 4L && c._4 == 64), "n=112 final window is full-length")
+    assert(want.exists(c => c._1 == 5L && c._4 == 17), "n=113 final window is the 17-token minimum")
+  }
 }
