@@ -236,7 +236,8 @@ object ScalingBench {
       // "consider median-of-3"): each ratio comes from a lo/hi pair
       // measured back-to-back, so common-mode host drift cancels
       // within a pair and the median discards a single corrupted one
-      private val mid = ratios.sorted.apply(ratios.size / 2)
+      // lower-middle for even counts: never the favorable rounding
+      private val mid = ratios.sorted.apply((ratios.size - 1) / 2)
       val raw: Double = mid
       // the reported (sec_lo, sec_hi) are the median pair's own
       // components, so sec_lo/sec_hi/raw are mutually consistent
@@ -305,7 +306,7 @@ object ScalingBench {
     val ceiling = math.min(ceilRaw, 1.0)
     val pairs = (1 to reps).map(_ => runPair(lo, hi, sfDir, workScale))
     val ratios = pairs.map { case (l, h) => (l / h) / (hi.toDouble / lo) }
-    val mid = ratios.sorted.apply(ratios.size / 2)
+    val mid = ratios.sorted.apply((ratios.size - 1) / 2) // lower-middle for even counts
     val (tLo, tHi) = pairs.minBy { case (l, h) =>
       math.abs((l / h) / (hi.toDouble / lo) - mid) }
     val latLo = runStreamLatencies(lo, sfDir)
