@@ -70,7 +70,9 @@ object IndependentDecoder {
     require(bytes.length >= 4, s"adpcm payload too short: ${bytes.length}")
     var predictor = (((bytes(1) & 0xff) << 8) | (bytes(0) & 0xff)).toShort.toInt
     var index = math.min(88, math.max(0, bytes(2) & 0xff))
-    val n = (bytes.length - 4) * 2 - (bytes(3) & 0x01)
+    // a 4-byte payload (header only) with the odd-parity bit set would
+    // compute -1 and throw NegativeArraySizeException — clamp to empty
+    val n = math.max(0, (bytes.length - 4) * 2 - (bytes(3) & 0x01))
     val out = new Array[Float](n)
     for (i <- 0 until n) {
       val raw = bytes(4 + (i >> 1)) & 0xff

@@ -584,8 +584,13 @@ object StreamQueries {
       "s17_sink_multibatch",
       (s, d) => {
         val dir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
-        val outDir = java.nio.file.Files
-          .createTempDirectory("graft_sink_mb_").toString
+        // fixed per-SF dir wiped at query start (q59 pattern): a fresh
+        // createTempDirectory per invocation leaks a sink copy
+        // (data + _checkpoint) on every Bench/Verify pass
+        val outDir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_sink_mb",
+          java.nio.file.Paths.get(d).getFileName.toString).toString
+        graft.sink.FsUtil.deleteRecursively(java.nio.file.Paths.get(outDir))
         val clips = metaProjection(
           StreamRunner.parquetStream(s, dir, eventsSchema,
             maxFilesPerTrigger = Some(1)))
@@ -614,8 +619,12 @@ object StreamQueries {
     QueryDef(
       "s05_exactly_once_sink",
       (s, d) => {
-        val outDir = java.nio.file.Files
-          .createTempDirectory("graft_sink_").toString
+        // same fixed-dir + wipe discipline as s17 (one sink copy per SF
+        // on disk, never a leak per pass)
+        val outDir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_sink_s05",
+          java.nio.file.Paths.get(d).getFileName.toString).toString
+        graft.sink.FsUtil.deleteRecursively(java.nio.file.Paths.get(outDir))
         val clips = metaProjection(
           StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
         val sink = new ExactlyOnceSink(outDir, Seq("event_id"))

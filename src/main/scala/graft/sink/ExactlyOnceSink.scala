@@ -212,4 +212,32 @@ object FsUtil {
     }
     Files.deleteIfExists(p)
   }
+
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Cross-PROCESS exclusive section for the shared /tmp staging dirs
+    * (clip table, binary-file fixtures, events batches): two JVMs
+    * staging the same SF concurrently — e.g. Verify and Bench — could
+    * otherwise interleave deleteRecursively/write under the
+    * marker-only guard and one would read a partially staged dir. A
+    * JVM-wide monitor per lock path wraps the OS FileLock because a
+    * second lock attempt on the same file from the SAME JVM throws
+    * OverlappingFileLockException rather than blocking. Callers must
+    * re-run their stale check INSIDE the lock (the winner may have
+    * staged while we waited).
+    */
+  def withStagingLock[T](lockFile: Path)(f: => T): T = {
+    val mon = jvmLocks.computeIfAbsent(lockFile.toString, _ => new Object)
+    mon.synchronized {
+      if (lockFile.getParent != null) Files.createDirectories(lockFile.getParent)
+      val ch = java.nio.channels.FileChannel.open(lockFile,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try f finally l.release()
+      } finally ch.close()
+    }
+  }
 }

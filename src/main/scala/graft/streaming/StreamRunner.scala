@@ -63,6 +63,11 @@ object StreamRunner {
       // old rows
       val fp = sourceFingerprint(p)
       val marker = dir.resolve("_fingerprint")
+      // cross-process staging lock (stale check inside): see
+      // FsUtil.withStagingLock — concurrent Verify/Bench JVMs must not
+      // interleave the wipe/write cycle
+      graft.sink.FsUtil.withStagingLock(
+        java.nio.file.Paths.get(dir.toString + ".lock")) {
       val fresh = java.nio.file.Files.exists(target) &&
         java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
@@ -76,6 +81,7 @@ object StreamRunner {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+      }
       }
       dir.toString
     }
@@ -110,6 +116,7 @@ object StreamRunner {
       src.getParent.getFileName.toString)
     val marker = dir.resolve("_fingerprint")
     val fp = sourceFingerprint(src) + s"|${n}batch-$m-$div-v1"
+    graft.sink.FsUtil.withStagingLock(Paths.get(dir.toString + ".lock")) {
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == fp
     if (!fresh) {
@@ -138,6 +145,7 @@ object StreamRunner {
           java.nio.file.attribute.FileTime.fromMillis(base + i * 5000L))
       } finally source.unpersist()
       Files.write(marker, fp.getBytes("UTF-8"))
+    }
     }
     dir.toString
   }

@@ -153,7 +153,7 @@ object ClipGen {
     * version a staged copy built by older synth code would be served
     * as "fresh" forever.
     */
-  private val SynthVersion = "synth-v3" // v3: + tone_power/tone_detected (q58)
+  private val SynthVersion = "synth-v4" // v4: staging-time tone-power margin assertions (r3 ADVICE)
 
   def sourceFingerprint(sfDir: String): String = {
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
@@ -181,6 +181,10 @@ object ClipGen {
     import spark.implicits._
     val dir = clipsTablePath(sfDir)
     val marker = java.nio.file.Paths.get(dir + ".ok")
+    // cross-process staging lock: the stale check runs INSIDE it, so a
+    // second JVM (Verify vs Bench) blocks until the winner finishes and
+    // then sees the fresh marker instead of a half-written dir
+    graft.sink.FsUtil.withStagingLock(java.nio.file.Paths.get(dir + ".lock")) {
     val fp = sourceFingerprint(sfDir)
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
@@ -213,6 +217,29 @@ object ClipGen {
             // worst) leaks above any fixed threshold (rectangular-
             // window sinc ≥ 0.64 at Δf·T = 0.5), so it is NULL there.
             val p = graft.audio.IndependentDecoder.tonePower(dec, c.sr_hz, 500.0)
+            // staging-time flake guards (r3 ADVICE, strengthened): the
+            // engine recomputes this power via the Goertzel recurrence
+            // and verify compares the two at round(3) plus a threshold
+            // flag. A fixed distance-from-midpoint margin is NOT
+            // workable at scale (midpoints are 1e-3 apart, so some clip
+            // in a large corpus always sits within any fixed band — one
+            // landed 4.7e-7 from 22.4995 at test SF) — so assert the
+            // invariant verify actually needs: the two implementations
+            // agree at round(3), on the flag, and to ≤1e-7 absolute.
+            // Any future seed/SF/libm combination that WOULD flake the
+            // oracle fails loudly here instead.
+            val pg = graft.audio.Codecs
+              .goertzelPowerAt(c.codec, c.bytes, c.sr_hz, 500.0)
+              .fold(e => throw new IllegalStateException(
+                s"engine decode failed for staged clip ${c.clip_id}: $e"), identity)
+            require(math.abs(p - pg) <= 1e-7,
+              s"DFT/Goertzel tone power disagree beyond 1e-7 for ${c.clip_id}: $p vs $pg")
+            def r3(x: Double) = BigDecimal(java.lang.Double.toString(x))
+              .setScale(3, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            require(r3(p) == r3(pg),
+              s"tone power for ${c.clip_id} straddles a round(3) boundary: $p vs $pg - latent verify flake")
+            if (c.dur_ms >= 500) require((p > 0.005) == (pg > 0.005),
+              s"tone flag for ${c.clip_id} straddles the 0.005 threshold: $p vs $pg - latent verify flake")
             val detected: Option[Boolean] =
               if (c.dur_ms >= 500) Some(p > 0.005) else None
             Some((c.clip_id, c.event_time, st.n, st.rms, st.peak,
@@ -230,6 +257,7 @@ object ClipGen {
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(clipsExpectedPath(sfDir))
       java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+    }
     }
     spark.read.parquet(dir).as[Clip]
   }
@@ -253,6 +281,7 @@ object ClipGen {
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_binfiles",
       Paths.get(sfDir).getFileName.toString)
     val marker = Paths.get(dir.toString + ".ok")
+    graft.sink.FsUtil.withStagingLock(Paths.get(dir.toString + ".lock")) {
     val fp = sourceFingerprint(sfDir) + "|binfiles-v2"
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == fp
@@ -274,6 +303,7 @@ object ClipGen {
           }
         }
       Files.write(marker, fp.getBytes("UTF-8"))
+    }
     }
     dir.toString
   }
