@@ -144,6 +144,92 @@ object Dedup {
     withToks.select(col(idCol), sh.as("simhash"))
   }
 
+  /** Connected components over an undirected near-dup pair graph —
+    * the pair→cluster resolution step a corpus dedup needs (pairs
+    * alone leave transitive duplicates A~B~C alive when A≁C; the
+    * reference's within-message dedup loop,
+    * /root/reference/src/main/java/de/unimarburg/diz/labtofhir/mapper/Hl7LabMapper.java:160-179,
+    * generalized corpus-wide).
+    *
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — each round is
+    * two hash-partitioned groupBy-min + equi-join passes, no
+    * collect_set of neighbor lists (a hot node's neighborhood never
+    * materializes on one task), converging in O(log n) rounds even on
+    * path graphs vs O(diameter) for plain label propagation. Star
+    * graphs centered at the component minimum are the fixpoint.
+    * Each iteration is localCheckpoint'ed (truncates the exponentially
+    * deepening lineage — at cluster scale this would be a reliable
+    * checkpoint to HDFS) and convergence is detected by an
+    * order-independent (count, Σ xxhash64) signature over the
+    * canonical edge set, summed as DECIMAL(38,0) so it can never
+    * overflow.
+    *
+    * Returns one row per node that appears in ≥1 pair:
+    * (id, cluster_id) with cluster_id = min id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String, idB: String,
+      maxIter: Int = 20): DataFrame = {
+    var edges = pairs
+      .select(least(col(idA), col(idB)).as("a"),
+        greatest(col(idA), col(idB)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(
+        count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+
+    // large-star: every neighbor v > u of center u is rewired to
+    // m = min(Γ(u) ∪ {u}); connectivity-preserving, shrinks tall nodes
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("m").as("a"), col("v").as("b")) // m ≤ u < v ⇒ a < b
+        .distinct()
+    }
+
+    // small-star: orient toward the smaller endpoint (center = larger);
+    // all of the center's smaller neighbors, and the center itself,
+    // rewire to m = min of that neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(col("b").as("u"), col("a").as("v")) // b > a
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      oriented.join(mins, "u")
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b"))
+        .unionAll(mins.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+    }
+
+    var sig = signature(edges)
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nsig = signature(next)
+      converged = nsig._1 == sig._1 && nsig._2.compareTo(sig._2) == 0
+      edges = next
+      sig = nsig
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds (edges=${sig._1})")
+    // fixpoint: every edge is (componentMin, member)
+    edges.select(col("b").as("id"), col("a").as("cluster_id"))
+      .unionAll(edges.select(col("a").as("id"), col("a").as("cluster_id")))
+      .distinct()
+  }
+
   /** SimHash near-duplicate pairs: band the 32-bit hash into 4 bytes;
     * pairs equal on ≥1 byte-band are candidates (guarantees recall for
     * Hamming distance ≤ 3); verify with exact popcount distance.

@@ -69,8 +69,12 @@ object CurationQueries {
     // ------------------------ q48 corpus curation keep-list (end-to-end)
     // The combined pipeline: quality gates (token count, stopword
     // ratio) → language allow-list → exact-dup removal (keep smallest
-    // doc_id). Output is the kept doc list with its quality row — what
-    // a pretraining data job materializes per shard.
+    // doc_id) → NEAR-dup cluster resolution (minhash-LSH pairs at
+    // est_jaccard ≥ 0.5 → connected components → drop every
+    // non-canonical cluster member). Output is the kept doc list with
+    // its quality row — what a pretraining data job materializes per
+    // shard. v2 (round-4): without the clustering step, transitive
+    // near-duplicates survived curation (round-3 verdict Missing #1).
     QueryDef(
       "q48_curation_keeplist",
       (s, d) => {
@@ -85,14 +89,21 @@ object CurationQueries {
           .filter(col("lang").isin("en", "de", "es"))
         val keepers = Dedup.exactDedup(gated, "doc_id", "text")
           .select(col("keeper_id").as("doc_id"))
-        gated.join(keepers, "doc_id")
+        val exact = gated.join(keepers, "doc_id")
+        val pairs = Dedup.minhashLshPairs(exact, "doc_id", "text",
+            shingleN = 3, k = 8, bands = 4, threshold = 0.5, maxBucketSize = 64)
+          .select(col("id_a"), col("id_b"))
+        val nonCanonical = Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("doc_id"))
+        exact.join(nonCanonical, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"), col("n_tokens"),
             col("stopword_ratio"))
           .orderBy(col("doc_id"))
       },
       Some {
         val norm = TextQueries.normSql("text")
-        s"""WITH n AS (
+        s"""WITH RECURSIVE n AS (
            |  SELECT doc_id, lang, text, $norm AS nt FROM documents),
            |m AS (
            |  SELECT doc_id, lang, text, nt,
@@ -105,9 +116,15 @@ object CurationQueries {
            |  FROM m
            |  WHERE n_tokens BETWEEN 20 AND 95 AND lang IN ('en', 'de', 'es')),
            |k AS (
-           |  SELECT MIN(doc_id) AS doc_id FROM g GROUP BY md5(nt))
-           |SELECT g.doc_id, g.lang, g.n_tokens, g.stopword_ratio
-           |FROM g JOIN k ON g.doc_id = k.doc_id
-           |ORDER BY g.doc_id""".stripMargin
+           |  SELECT MIN(doc_id) AS doc_id FROM g GROUP BY md5(nt)),
+           |kk AS (
+           |  SELECT g.* FROM g JOIN k ON g.doc_id = k.doc_id),
+           |""".stripMargin +
+          DedupQueries.minhashPairsCtes("mh_", "kk", 0.5) + ",\n" +
+          DedupQueries.closureCtes("cc_", "mh_pairs") + "\n" +
+          """SELECT kk.doc_id, kk.lang, kk.n_tokens, kk.stopword_ratio
+            |FROM kk
+            |WHERE kk.doc_id NOT IN (SELECT id FROM cc_cl WHERE id <> cluster_id)
+            |ORDER BY kk.doc_id""".stripMargin
       }))
 }

@@ -29,6 +29,76 @@ object DedupQueries {
       s"list_aggregate(list_transform($sh, x -> md5('$k:' || x)), 'min')"
     }.mkString("[", ", ", "]")
 
+  /** CTE chain (no leading WITH, margins already stripped) deriving
+    * minhash-LSH candidate pairs over `src` — any relation exposing
+    * (doc_id, text). Final relation `<p>pairs` has
+    * (id_a, id_b, est_jaccard ≥ threshold). Shared by q31, q61 and
+    * q48 so the pair derivation exists exactly once in oracle SQL.
+    */
+  private[queries] def minhashPairsCtes(p: String, src: String,
+      threshold: Double): String = {
+    val bandKeys = (0 until 4).map { b =>
+      s"md5('$b' || ',' || sig[${2 * b + 1}] || ',' || sig[${2 * b + 2}])"
+    }.mkString("[", ", ", "]")
+    s"""${p}tk AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM $src),
+       |${p}sh AS (SELECT doc_id, $shinglesSql AS sh FROM ${p}tk),
+       |${p}sg AS (SELECT doc_id, ${sigSql("sh")} AS sig FROM ${p}sh),
+       |${p}ex AS (SELECT doc_id, sig, unnest($bandKeys) AS band_key FROM ${p}sg),
+       |${p}bd AS (SELECT *, COUNT(*) OVER (PARTITION BY band_key) AS bucket_n FROM ${p}ex),
+       |${p}ok AS (SELECT * FROM ${p}bd WHERE bucket_n <= 64),
+       |${p}pairs AS (
+       |  SELECT id_a, id_b, est_jaccard FROM (
+       |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_filter(range(1, 9), i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS DOUBLE) / 8 AS est_jaccard
+       |    FROM ${p}ok a JOIN ${p}ok b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |  WHERE est_jaccard >= $threshold)""".stripMargin
+  }
+
+  /** CTE chain deriving simhash near-dup pairs over `src`; final
+    * relation `<p>pairs` has (id_a, id_b, hamming ≤ maxHamming).
+    */
+  private[queries] def simhashPairsCtes(p: String, src: String,
+      maxHamming: Int): String =
+    s"""${p}tk AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM $src),
+       |${p}hs AS (
+       |  SELECT doc_id, list_transform(toks, tok ->
+       |    CAST(list_sum(list_transform(range(0, 8),
+       |      c -> (strpos('0123456789abcdef', substr(md5(tok), CAST(c + 1 AS INT), 1)) - 1)
+       |           * CAST(power(16, 7 - c) AS BIGINT))) AS BIGINT)) AS hashes
+       |  FROM ${p}tk),
+       |${p}sm AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 32), j -> CASE WHEN
+       |      list_sum(list_transform(hashes, h ->
+       |        CASE WHEN (h >> CAST(31 - j AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |      THEN CAST(power(2, 31 - j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+       |  FROM ${p}hs),
+       |${p}bd AS (
+       |  SELECT doc_id, simhash, b.b AS band, (simhash >> CAST(8 * b.b AS INT)) & 255 AS band_val
+       |  FROM ${p}sm, (SELECT unnest([0, 1, 2, 3]) AS b) b),
+       |${p}pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM ${p}bd a JOIN ${p}bd b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming)""".stripMargin
+
+  /** CTE chain resolving an undirected pair relation `<pairsRel>`
+    * (id_a, id_b) into connected components by transitive closure —
+    * the DuckDB twin of [[Dedup.connectedComponents]]. Final relation
+    * `<p>cl` has (id, cluster_id = component minimum). The enclosing
+    * query must start WITH RECURSIVE.
+    */
+  private[queries] def closureCtes(p: String, pairsRel: String): String =
+    s"""${p}pe AS (SELECT id_a AS a, id_b AS b FROM $pairsRel),
+       |${p}ed AS (SELECT a, b FROM ${p}pe UNION SELECT b, a FROM ${p}pe),
+       |${p}reach(id, m) AS (
+       |  SELECT a, b FROM ${p}ed
+       |  UNION
+       |  SELECT r.id, e.b FROM ${p}reach r JOIN ${p}ed e ON e.a = r.m),
+       |${p}cl AS (SELECT id, LEAST(id, MIN(m)) AS cluster_id FROM ${p}reach GROUP BY id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------ q29 exact dedup
     QueryDef(
@@ -65,24 +135,8 @@ object DedupQueries {
         Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
           shingleN = 3, k = 8, bands = 4, threshold = 0.25, maxBucketSize = 64)
           .orderBy(col("id_a"), col("id_b")),
-      Some {
-        val bandKeys = (0 until 4).map { b =>
-          s"md5('$b' || ',' || sig[${2 * b + 1}] || ',' || sig[${2 * b + 2}])"
-        }.mkString("[", ", ", "]")
-        s"""WITH tk AS (
-           |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
-           |sh AS (SELECT doc_id, $shinglesSql AS sh FROM tk),
-           |sg AS (SELECT doc_id, ${sigSql("sh")} AS sig FROM sh),
-           |ex AS (SELECT doc_id, sig, unnest($bandKeys) AS band_key FROM sg),
-           |bd AS (SELECT *, COUNT(*) OVER (PARTITION BY band_key) AS bucket_n FROM ex),
-           |ok AS (SELECT * FROM bd WHERE bucket_n <= 64),
-           |pr AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           |    CAST(len(list_filter(range(1, 9), i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS DOUBLE) / 8 AS est_jaccard
-           |  FROM ok a JOIN ok b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-           |SELECT id_a, id_b, est_jaccard FROM pr
-           |WHERE est_jaccard >= 0.25 ORDER BY id_a, id_b""".stripMargin
-      }),
+      Some("WITH " + minhashPairsCtes("mh_", "documents", 0.25) +
+        "\nSELECT id_a, id_b, est_jaccard FROM mh_pairs ORDER BY id_a, id_b")),
 
     // --------------------------------------- q32 exact n-gram Jaccard
     QueryDef(
@@ -131,27 +185,45 @@ object DedupQueries {
       (s, d) =>
         Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 6)
           .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH tk AS (
-              |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
-              |hs AS (
-              |  SELECT doc_id, list_transform(toks, tok ->
-              |    CAST(list_sum(list_transform(range(0, 8),
-              |      c -> (strpos('0123456789abcdef', substr(md5(tok), CAST(c + 1 AS INT), 1)) - 1)
-              |           * CAST(power(16, 7 - c) AS BIGINT))) AS BIGINT)) AS hashes
-              |  FROM tk),
-              |sh AS (
-              |  SELECT doc_id,
-              |    CAST(list_sum(list_transform(range(0, 32), j -> CASE WHEN
-              |      list_sum(list_transform(hashes, h ->
-              |        CASE WHEN (h >> CAST(31 - j AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-              |      THEN CAST(power(2, 31 - j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
-              |  FROM hs),
-              |bd AS (
-              |  SELECT doc_id, simhash, b.b AS band, (simhash >> CAST(8 * b.b AS INT)) & 255 AS band_val
-              |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS b) b)
-              |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-              |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-              |FROM bd a JOIN bd b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-              |ORDER BY id_a, id_b""".stripMargin)))
+      Some("WITH " + simhashPairsCtes("sp_", "documents", 6) +
+        "\nSELECT id_a, id_b, hamming FROM sp_pairs ORDER BY id_a, id_b")),
+
+    // ----------------- q61 near-dup cluster resolution (pairs → clusters)
+    // Connected components over the UNION of the minhash-LSH and
+    // simhash near-dup pair graphs — the step that turns candidate
+    // pairs into an actionable dedup decision (transitive duplicates
+    // A~B~C with A≁C collapse into one cluster; without it they
+    // survive any pairwise keep-list). Engine: alternating large-star/
+    // small-star to fixpoint; oracle: DuckDB recursive transitive
+    // closure over the identical pair SQL.
+    QueryDef(
+      "q61_neardup_clusters",
+      (s, d) => {
+        val dd = docs(s, d)
+        val mh = Dedup.minhashLshPairs(dd, "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4, threshold = 0.25, maxBucketSize = 64)
+          .select(col("id_a"), col("id_b"))
+        val sp = Dedup.simhashPairs(dd, "doc_id", "text", maxHamming = 6)
+          .select(col("id_a"), col("id_b"))
+        val cc = Dedup.connectedComponents(mh.unionByName(sp), "id_a", "id_b")
+        val sizes = cc.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "cluster_id")
+          .select(col("id").as("doc_id"), col("cluster_id"),
+            col("cluster_size"),
+            (col("id") === col("cluster_id")).as("is_canonical"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH RECURSIVE " +
+        minhashPairsCtes("mh_", "documents", 0.25) + ",\n" +
+        simhashPairsCtes("sp_", "documents", 6) + ",\n" +
+        """u_pairs AS (
+          |  SELECT id_a, id_b FROM mh_pairs UNION SELECT id_a, id_b FROM sp_pairs),
+          |""".stripMargin +
+        closureCtes("cc_", "u_pairs") + ",\n" +
+        """sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc_cl GROUP BY 1)
+          |SELECT cc_cl.id AS doc_id, cc_cl.cluster_id, sz.cluster_size,
+          |  cc_cl.id = cc_cl.cluster_id AS is_canonical
+          |FROM cc_cl JOIN sz USING (cluster_id)
+          |ORDER BY doc_id""".stripMargin)))
 }

@@ -286,4 +286,37 @@ class OperatorsSpec extends AnyFunSuite {
     // equal cosines break by neighbor_id ascending
     assert(out.map(_.neighbor_id) == Seq(7L, 3L, 5L))
   }
+
+  private def ccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+
+  test("connectedComponents: path graph (label-propagation worst case) collapses to its min") {
+    // 0-1-2-...-9 as a chain, given in descending order with some
+    // reversed and duplicated edges — O(log n) star rounds must still
+    // resolve every node to 0
+    val chain = (0L until 9L).map(i => (i + 1, i)) ++ Seq((3L, 4L), (5L, 6L))
+    val m = ccMap(chain)
+    assert(m == (1L to 9L).map(_ -> 0L).toMap + (0L -> 0L))
+  }
+
+  test("connectedComponents: multiple components + transitive A~B~C with A≁C") {
+    val m = ccMap(Seq(
+      (10L, 20L), (20L, 30L), // 10-20-30 transitively (10≁30 directly)
+      (7L, 5L),               // {5, 7}
+      (100L, 101L)))          // {100, 101}
+    assert(m == Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      5L -> 5L, 7L -> 5L, 100L -> 100L, 101L -> 100L))
+  }
+
+  test("connectedComponents: star already centered at a non-min node re-centers") {
+    // hub 50 with leaves, min 1 a leaf: cluster id must be 1, not 50
+    val m = ccMap(Seq((50L, 60L), (50L, 70L), (50L, 1L)))
+    assert(m == Map(50L -> 1L, 60L -> 1L, 70L -> 1L, 1L -> 1L))
+  }
+
+  test("connectedComponents: empty and self-pair inputs produce no rows") {
+    assert(ccMap(Seq.empty).isEmpty)
+    assert(ccMap(Seq((4L, 4L))).isEmpty) // self-pair is not an edge
+  }
 }
