@@ -254,6 +254,94 @@ object StreamQueries {
               |  AND u.u_event_time <= c.event_time + INTERVAL 10 MINUTE
               |ORDER BY c.clip_id, c.event_id, u.u_event_time""".stripMargin)),
 
+    // ------ s19 stream-stream LEFT OUTER join across THREE micro-batches
+    // The two-sided-watermark LEFT OUTER schedule under the hard
+    // oracle — s12 proved cross-batch INNER state, s09 proved
+    // single-batch null emission; this row pins the multi-batch
+    // schedule itself: the global watermark is the MIN over both
+    // sides' column watermarks, the late filter lags two batches
+    // (batch n drops rows <= gwm(n−2)), eviction lags one
+    // (gwm(n−1)), and an unmatched clip emits its null row only once
+    // the FINAL watermark passes its join window. The SQL is the
+    // transcription of the engine-validated Scala model
+    // (MultiBatchModelSpec.modelLeftJoin, adversarial-seed-checked):
+    // survivors filter per batch against gwm(0); a surviving pair
+    // emits unless the earlier side was evicted before the later
+    // side's batch (conditions kept for fidelity — at lag-2 they are
+    // provably implied: a surviving later side has time > gwm(n−2),
+    // so the earlier side's deadline t+W >= that time survives the
+    // SAME cutoff its partner's batch evicts against); an unmatched
+    // surviving clip emits null iff t + 10 min < gwm(final).
+    QueryDef(
+      "s19_stream_left_join_multibatch",
+      (s, d) => {
+        val clipsDir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
+        val updDir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3,
+          mod = 18, div = 6)
+        // the oracle models exactly 3 PAIRED micro-batches with every
+        // class populated on both sides — refuse anything else loudly
+        val ev = s.read.parquet(s"$d/events.parquet")
+        val classes = ev.agg(
+          countDistinct(col("event_id") % 3).as("nc"),
+          countDistinct(when(col("event_id") % 6 === 1,
+            expr("(event_id % 18) div 6"))).as("nu")).head()
+        require(classes.getLong(0) == 3 && classes.getLong(1) == 3,
+          s"s19 needs all 3 batch classes non-empty on both sides, got $classes")
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, clipsDir, eventsSchema,
+            maxFilesPerTrigger = Some(1)))
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .drop("sr_hz", "dur_ms", "codec")
+        val updates = ClipGen.updatesProjection(
+          StreamRunner.parquetStream(s, updDir, eventsSchema,
+            maxFilesPerTrigger = Some(1)))
+          .withColumn("u_event_time", col("u_event_time").cast("timestamp"))
+        val joined = ClipPipeline
+          .transcriptUpdateLeftJoin(clips, updates, "5 days", "10 MINUTES")
+          .select(col("clip_id"), col("event_id"), col("event_time"),
+            col("u_transcript"), col("u_event_time"))
+        val (table, batches) = StreamRunner.runToMemoryCounted(joined, "append")
+        require(batches == 3,
+          s"s19 oracle models exactly 3 paired micro-batches, got $batches")
+        table
+          .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
+          .withColumn("u_event_time", col("u_event_time").cast("timestamp_ntz"))
+          .orderBy(col("clip_id"), col("event_id"),
+            col("u_event_time").asc_nulls_first)
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql}),
+              |cb AS (SELECT clip_id, event_id, event_time, event_id % 3 AS bc FROM clips),
+              |upd AS (
+              |  SELECT CASE WHEN event_id % 10 < 2 THEN 'hot-' || (event_id % 5) ELSE 'c-' || event_id END AS clip_id,
+              |    'corrected ' || (event_id % 100) AS u_transcript,
+              |    ts + INTERVAL 3 MINUTE AS u_event_time,
+              |    (event_id % 18) // 6 AS bu
+              |  FROM events WHERE event_id % 6 = 1),
+              |w0 AS (SELECT least(
+              |    (SELECT max(event_time) FROM cb WHERE bc <= 0),
+              |    (SELECT max(u_event_time) FROM upd WHERE bu <= 0)) - INTERVAL 5 DAY AS w),
+              |wf AS (SELECT least(
+              |    (SELECT max(event_time) FROM cb),
+              |    (SELECT max(u_event_time) FROM upd)) - INTERVAL 5 DAY AS w),
+              |sc AS (SELECT * FROM cb WHERE bc < 2 OR event_time > (SELECT w FROM w0)),
+              |su AS (SELECT * FROM upd WHERE bu < 2 OR u_event_time > (SELECT w FROM w0)),
+              |mt AS (
+              |  SELECT c.clip_id, c.event_id, c.event_time, u.u_transcript, u.u_event_time
+              |  FROM sc c JOIN su u ON c.clip_id = u.clip_id
+              |    AND u.u_event_time >= c.event_time
+              |    AND u.u_event_time <= c.event_time + INTERVAL 10 MINUTE
+              |  WHERE CASE WHEN c.bc = u.bu THEN TRUE
+              |    WHEN c.bc < u.bu THEN u.bu = 1 OR c.event_time + INTERVAL 10 MINUTE >= (SELECT w FROM w0)
+              |    ELSE c.bc = 1 OR u.u_event_time >= (SELECT w FROM w0) END),
+              |nl AS (
+              |  SELECT c.clip_id, c.event_id, c.event_time,
+              |    CAST(NULL AS VARCHAR) AS u_transcript, CAST(NULL AS TIMESTAMP) AS u_event_time
+              |  FROM sc c
+              |  WHERE c.event_time + INTERVAL 10 MINUTE < (SELECT w FROM wf)
+              |    AND NOT EXISTS (SELECT 1 FROM mt WHERE mt.event_id = c.event_id))
+              |SELECT * FROM mt UNION ALL SELECT * FROM nl
+              |ORDER BY clip_id, event_id, u_event_time NULLS FIRST""".stripMargin)),
+
     // ------------------- s13 stream-static broadcast lookup join (J1×S1)
     // The streaming twin of q39: a stream of clip metadata enriched
     // against the static codec catalog (first-wins dedup on the lookup
@@ -614,6 +702,65 @@ object StreamQueries {
       Some(s"""WITH clips AS (${ClipGen.metaSql})
               |SELECT clip_id, event_id, codec, dur_ms, event_time
               |FROM clips ORDER BY event_id""".stripMargin)),
+
+    // -------- s20 streaming fan-in: TWO live streams → ONE sink (W3×D2)
+    // The reference's literal topology: both Kafka-Streams topologies
+    // produce to the single lab-fhir topic
+    // (/root/reference/src/main/resources/application.yml:24,31). Two
+    // file streams (clip metadata + transcript updates, each staged as
+    // 3 ordered files) unionByName into one ExactlyOnceSink — the
+    // commit protocol must stay idempotent under batchIds that each
+    // interleave rows from BOTH sources. The union is stateless (no
+    // watermark, no state store), so the committed union is
+    // schedule-independent and the oracle is plain UNION ALL SQL —
+    // what this row hardens beyond s17 is fan-in through one sink,
+    // not a watermark schedule.
+    QueryDef(
+      "s20_stream_union_sink",
+      (s, d) => {
+        val clipsDir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
+        val updDir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3,
+          mod = 18, div = 6)
+        val outDir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_sink_union",
+          java.nio.file.Paths.get(d).getFileName.toString).toString
+        graft.sink.FsUtil.deleteRecursively(java.nio.file.Paths.get(outDir))
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, clipsDir, eventsSchema,
+            maxFilesPerTrigger = Some(1)))
+          .select(col("clip_id"), lit("clip").as("kind"),
+            col("transcript").as("payload"), col("event_time"))
+        val updates = ClipGen.updatesProjection(
+          StreamRunner.parquetStream(s, updDir, eventsSchema,
+            maxFilesPerTrigger = Some(1)))
+          .select(col("clip_id"), lit("update").as("kind"),
+            col("u_transcript").as("payload"),
+            col("u_event_time").as("event_time"))
+        val fanIn = clips.unionByName(updates)
+        val sink = new ExactlyOnceSink(outDir,
+          Seq("clip_id", "event_time", "kind", "payload"))
+        val q = fanIn.writeStream
+          .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$outDir/_checkpoint")
+          .start()
+        q.awaitTermination()
+        require(sink.committedBatchIds.size == 3,
+          s"s20 expects 3 committed fan-in micro-batches, got ${sink.committedBatchIds}")
+        require(sink.lineage.forall(b => b.partitionRows.sum == b.rows),
+          "per-batch lineage must reconcile")
+        sink.readCommitted(s)
+          .select(col("clip_id"), col("kind"), col("payload"),
+            col("event_time"))
+          .orderBy(col("kind"), col("clip_id"), col("event_time"),
+            col("payload"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql}),
+              |upd AS (${ClipGen.updatesSql})
+              |SELECT clip_id, 'clip' AS kind, transcript AS payload, event_time FROM clips
+              |UNION ALL
+              |SELECT clip_id, 'update' AS kind, u_transcript AS payload, u_event_time AS event_time FROM upd
+              |ORDER BY kind, clip_id, event_time, payload""".stripMargin)),
 
     // --------------------------- s05 exactly-once foreachBatch sink (D2)
     QueryDef(
