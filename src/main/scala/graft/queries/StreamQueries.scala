@@ -62,6 +62,40 @@ object StreamQueries {
             |  occ > 1 AS is_dup, event_time, transcript
             |FROM u ORDER BY clip_id, occurrence""".stripMargin)
 
+  /** Single-batch session-MERGE oracle shared by s21 (fMGWS) and s22
+    * (transformWithState + event-time timers on RocksDB) — one
+    * schedule, two state APIs, identical required output. All rows
+    * arrive in ONE batch (asserted), so per key the fold sees the
+    * full event-time-ordered row list: every session closed by
+    * gap-SPLITTING emits unconditionally, and the final (open)
+    * session emits iff the flush watermark (global max event time −
+    * 12 h) strictly passes lastEvent + 30 min gap. Latest transcript
+    * wins by (event_time, event_id).
+    */
+  private val sessionMergeOracleSql: Option[String] =
+    Some(s"""WITH clips AS (${ClipGen.metaSql}),
+            |o AS (SELECT clip_id, event_id, event_time, dur_ms, transcript,
+            |    lag(event_time) OVER (PARTITION BY clip_id ORDER BY event_time, event_id) AS prev_t
+            |  FROM clips),
+            |f AS (SELECT *, CASE WHEN prev_t IS NULL OR event_time > prev_t + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM o),
+            |g AS (SELECT *, SUM(ns) OVER (PARTITION BY clip_id ORDER BY event_time, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+            |sess AS (
+            |  SELECT clip_id, sid,
+            |    CAST(COUNT(*) AS INT) AS n_records,
+            |    CAST(SUM(CAST(dur_ms AS BIGINT)) AS BIGINT) AS total_dur_ms,
+            |    (array_agg(transcript ORDER BY event_time, event_id))[-1] AS last_transcript,
+            |    MIN(event_time) AS session_start,
+            |    MAX(event_time) + INTERVAL 30 MINUTE AS session_end,
+            |    MAX(event_time) AS last_t
+            |  FROM g GROUP BY clip_id, sid),
+            |mx AS (SELECT max(event_time) - INTERVAL 12 HOUR AS wm FROM clips),
+            |ls AS (SELECT clip_id, MAX(sid) AS msid FROM sess GROUP BY clip_id)
+            |SELECT s.clip_id, s.n_records, s.total_dur_ms, s.last_transcript,
+            |  s.session_start, s.session_end
+            |FROM sess s JOIN ls USING (clip_id)
+            |WHERE s.sid < ls.msid OR s.last_t + INTERVAL 30 MINUTE < (SELECT wm FROM mx)
+            |ORDER BY clip_id, session_start""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     // --------------------------------- s01 streaming tumbling rollup (D4)
     QueryDef(
@@ -128,6 +162,53 @@ object StreamQueries {
         }
       },
       Some(dedupOracleSql)),
+
+    // ------------------ s21 keyed session-window MERGE, fMGWS (D1/D4)
+    // sessionMergeStage under the hard oracle: per-clip_id session
+    // merge (gap split, duration sum, latest-transcript-wins) closed
+    // by event-time timeout — previously ScalaTest-only.
+    QueryDef(
+      "s21_session_merge",
+      (s, d) => {
+        import s.implicits._
+        StreamRunner.assertSingleBatchInput(s"$d/events.parquet")
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .withWatermark("event_time", "12 hours")
+          .as[ClipMeta]
+        val merged = ClipPipeline.sessionMergeStage(clips)
+        StreamRunner.runToMemory(merged.toDF(), "append")
+          .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+          .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+          .orderBy(col("clip_id"), col("session_start"))
+      },
+      sessionMergeOracleSql),
+
+    // --- s22 session MERGE via transformWithState + event-time timers
+    // The TWS twin of s21 (the way s18 twins s11): typed
+    // ValueState[SessionAcc] + registerTimer/handleExpiredTimer on
+    // RocksDB must produce the identical session set — completing the
+    // D1 story (dedup AND session merge) on the production state API.
+    QueryDef(
+      "s22_session_merge_tws",
+      (s, d) => {
+        import s.implicits._
+        StreamRunner.assertSingleBatchInput(s"$d/events.parquet")
+        graft.streaming.TwsDedup.withRocksDB(s) {
+          val clips = metaProjection(
+            StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+            .withColumn("event_time", col("event_time").cast("timestamp"))
+            .withWatermark("event_time", "12 hours")
+            .as[ClipMeta]
+          val merged = graft.streaming.TwsSessionMerge.sessionMergeStageTws(clips)
+          StreamRunner.runToMemory(merged.toDF(), "append")
+            .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+            .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+            .orderBy(col("clip_id"), col("session_start"))
+        }
+      },
+      sessionMergeOracleSql),
 
     // ---------------- s11 keyed dedup across THREE micro-batches (D1)
     // The incremental-arrival case the single-batch queries can't

@@ -213,13 +213,32 @@ object ClipPipeline {
 
   // ------------------------------------------------- session merge (D1b)
 
-  /** Accumulating session state for [[sessionMergeStage]]. */
+  /** Accumulating session state for [[sessionMergeStage]]. Event
+    * times are tracked in MICROSECONDS: `Timestamp.getTime` truncates
+    * to millis, which both loses output precision against the µs
+    * parquet timestamps and (worse) would move a row pair sitting
+    * within 1 ms of the exact gap boundary across the split decision
+    * relative to the µs-exact DuckDB oracle.
+    */
   final case class SessionAcc(
       n: Int,
       totalDurMs: Long,
       lastTranscript: String,
-      lastEventMs: Long,
-      firstEventMs: Long)
+      lastEventUs: Long,
+      firstEventUs: Long)
+
+  /** Epoch micros of a Timestamp (getTime truncates to ms; the
+    * sub-ms part lives in getNanos).
+    */
+  def epochUs(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Timestamp from epoch micros (inverse of [[epochUs]]). */
+  def usToTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Merged session record emitted when a key's session closes. */
   final case class SessionMerge(
@@ -249,15 +268,15 @@ object ClipPipeline {
       n_records = acc.n,
       total_dur_ms = acc.totalDurMs,
       last_transcript = acc.lastTranscript,
-      session_start = new java.sql.Timestamp(acc.firstEventMs),
-      session_end = new java.sql.Timestamp(acc.lastEventMs + gapMs))
+      session_start = usToTimestamp(acc.firstEventUs),
+      session_end = usToTimestamp(acc.lastEventUs + gapMs * 1000L))
 
     if (state.hasTimedOut) {
       val acc = state.get
       state.remove()
       Iterator.single(close(acc))
     } else {
-      val sorted = rows.toIndexedSeq.sortBy(r => (r.event_time.getTime, r.event_id))
+      val sorted = rows.toIndexedSeq.sortBy(r => (epochUs(r.event_time), r.event_id))
       if (sorted.isEmpty) Iterator.empty
       else {
         // fold with SPLITTING: a row farther than gap from the open
@@ -267,12 +286,12 @@ object ClipPipeline {
         var open = state.getOption.orNull
         val closed = scala.collection.mutable.ArrayBuffer.empty[SessionMerge]
         sorted.foreach { r =>
-          val rMs = r.event_time.getTime
+          val rUs = epochUs(r.event_time)
           if (open == null) {
-            open = SessionAcc(1, r.dur_ms, r.transcript, rMs, rMs)
-          } else if (rMs > open.lastEventMs + gapMs) {
+            open = SessionAcc(1, r.dur_ms, r.transcript, rUs, rUs)
+          } else if (rUs > open.lastEventUs + gapMs * 1000L) {
             closed += close(open) // gap exceeded → session over
-            open = SessionAcc(1, r.dur_ms, r.transcript, rMs, rMs)
+            open = SessionAcc(1, r.dur_ms, r.transcript, rUs, rUs)
           } else {
             open = SessionAcc(
               n = open.n + 1,
@@ -280,16 +299,19 @@ object ClipPipeline {
               // "latest transcript wins" is by EVENT time — a late
               // out-of-order record must not overwrite a newer one
               lastTranscript =
-                if (rMs >= open.lastEventMs) r.transcript
+                if (rUs >= open.lastEventUs) r.transcript
                 else open.lastTranscript,
-              lastEventMs = math.max(open.lastEventMs, rMs),
-              firstEventMs = math.min(open.firstEventMs, rMs))
+              lastEventUs = math.max(open.lastEventUs, rUs),
+              firstEventUs = math.min(open.firstEventUs, rUs))
           }
         }
         state.update(open)
-        // timeout must stay ahead of the current watermark
+        // timeout must stay ahead of the current watermark (ms API —
+        // round the µs close time UP so the timer never fires before
+        // the watermark truly passes lastEvent + gap)
         state.setTimeoutTimestamp(
-          math.max(open.lastEventMs + gapMs, state.getCurrentWatermarkMs() + 1))
+          math.max(Math.floorDiv(open.lastEventUs + gapMs * 1000L + 999L, 1000L),
+            state.getCurrentWatermarkMs() + 1))
         closed.iterator
       }
     }

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+import graft.streaming.ClipPipeline.{SessionAcc, SessionMerge}
+
+/** D1 session-window MERGE on the Spark 4.x `transformWithState` API —
+  * the production-state-store twin of
+  * [[ClipPipeline.sessionMergeStage]] (flatMapGroupsWithState), the
+  * way [[TwsDedup]] twins the dedup stage: identical semantics,
+  * modern API, RocksDB-only. Both implementations share one DuckDB
+  * oracle (`s21`/`s22`) and the same ScalaTest schedules.
+  *
+  * State = one typed `ValueState[SessionAcc]` per clip_id; closing is
+  * driven by an EVENT-TIME TIMER re-armed on every input batch to
+  * `max(lastEvent + gap, watermark + 1)` — exactly the fMGWS
+  * `setTimeoutTimestamp` discipline, so the two APIs close sessions
+  * on the same schedule. Sessions closed by gap-SPLITTING inside a
+  * batch emit immediately from `handleInputRows`; the open session
+  * emits from `handleExpiredTimer` once the watermark passes
+  * lastEvent + gap.
+  *
+  * Reference analogue: the within-message merge of
+  * /root/reference/src/main/java/de/unimarburg/diz/labtofhir/mapper/Hl7LabMapper.java:160-179
+  * generalized to watermark-driven session windows.
+  */
+class SessionMergeProcessor(gapMs: Long)
+    extends StatefulProcessor[String, ClipMeta, SessionMerge] {
+
+  @transient private var acc: ValueState[SessionAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[SessionAcc]("session",
+      Encoders.product[SessionAcc], TTLConfig.NONE)
+
+  private def close(key: String, a: SessionAcc): SessionMerge = SessionMerge(
+    clip_id = key,
+    n_records = a.n,
+    total_dur_ms = a.totalDurMs,
+    last_transcript = a.lastTranscript,
+    session_start = ClipPipeline.usToTimestamp(a.firstEventUs),
+    session_end = ClipPipeline.usToTimestamp(a.lastEventUs + gapMs * 1000L))
+
+  override def handleInputRows(key: String, rows: Iterator[ClipMeta],
+      timerValues: TimerValues): Iterator[SessionMerge] = {
+    val sorted = rows.toIndexedSeq
+      .sortBy(r => (ClipPipeline.epochUs(r.event_time), r.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      // same µs fold-with-splitting as ClipPipeline.sessionMergeFn —
+      // keep the two implementations line-for-line comparable
+      var open = if (acc.exists()) acc.get() else null
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionMerge]
+      sorted.foreach { r =>
+        val rUs = ClipPipeline.epochUs(r.event_time)
+        if (open == null) {
+          open = SessionAcc(1, r.dur_ms, r.transcript, rUs, rUs)
+        } else if (rUs > open.lastEventUs + gapMs * 1000L) {
+          closed += close(key, open)
+          open = SessionAcc(1, r.dur_ms, r.transcript, rUs, rUs)
+        } else {
+          open = SessionAcc(
+            n = open.n + 1,
+            totalDurMs = open.totalDurMs + r.dur_ms,
+            lastTranscript =
+              if (rUs >= open.lastEventUs) r.transcript
+              else open.lastTranscript,
+            lastEventUs = math.max(open.lastEventUs, rUs),
+            firstEventUs = math.min(open.firstEventUs, rUs))
+        }
+      }
+      acc.update(open)
+      // one live timer per key: drop the superseded one, re-arm past
+      // the current watermark (the fMGWS setTimeoutTimestamp rule;
+      // ms timer API — round the µs close time UP)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(math.max(
+        Math.floorDiv(open.lastEventUs + gapMs * 1000L + 999L, 1000L),
+        timerValues.getCurrentWatermarkInMs() + 1))
+      closed.iterator
+    }
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionMerge] = {
+    if (!acc.exists()) Iterator.empty
+    else {
+      val a = acc.get()
+      acc.clear()
+      Iterator.single(close(key, a))
+    }
+  }
+}
+
+object TwsSessionMerge {
+
+  /** Streaming session merge via `transformWithState` (RocksDB-backed,
+    * event-time timers). Callers wrap in [[TwsDedup.withRocksDB]].
+    */
+  def sessionMergeStageTws(clips: Dataset[ClipMeta],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionMerge] = {
+    import clips.sparkSession.implicits._
+    clips
+      .groupByKey(_.clip_id)
+      .transformWithState(new SessionMergeProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

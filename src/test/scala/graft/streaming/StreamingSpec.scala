@@ -628,4 +628,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("2024-01-01 10:00:00", "2024-01-01 11:10:00", 3L)),
       s"expected one merged session [10:00,11:10) n=3, got $rows")
   }
+
+  test("transformWithState session-merge state + timer survive checkpoint restart (D7, RocksDB)") {
+    graft.streaming.TwsDedup.withRocksDB(spark) {
+      val base = java.nio.file.Files.createTempDirectory("tws_sess_restart_").toString
+      val inDir = s"$base/in"
+      val ckpt = s"$base/ckpt"
+      def writeFile(rows: Seq[ClipMeta]): Unit =
+        rows.toDS().coalesce(1).write.mode("append").parquet(inDir)
+      val sink = new graft.sink.ExactlyOnceSink(s"$base/out",
+        Seq("clip_id", "session_start"))
+      def startQuery() = {
+        val clips = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[ClipMeta]].schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir)
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .withWatermark("event_time", "10 minutes")
+          .as[ClipMeta]
+        graft.streaming.TwsSessionMerge.sessionMergeStageTws(clips).toDF()
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => sink.write(df, id))
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
+      // phase 1: two rows 20 min apart merge into one OPEN session
+      writeFile(Seq(metaAt("s", "10:00:00", 1), metaAt("s", "10:20:00", 2)))
+      val q1 = startQuery()
+      try q1.processAllAvailable()
+      finally q1.stop()
+      assert(sink.readCommitted(spark).count() == 0,
+        "session must still be open at shutdown")
+      // phase 2: a 10:40 row lands inside the RESTORED session's gap and
+      // must extend it (ValueState restored, not reset); 23:00 advances
+      // the watermark past the close, the extra batch fires the
+      // restored-and-re-armed TIMER
+      writeFile(Seq(metaAt("s", "10:40:00", 3)))
+      writeFile(Seq(metaAt("z", "23:00:00", 4)))
+      writeFile(Seq(metaAt("z2", "23:30:00", 5)))
+      val q2 = startQuery()
+      try q2.processAllAvailable()
+      finally q2.stop()
+      val rows = sink.readCommitted(spark)
+        .filter(col("clip_id") === "s")
+        .select(col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_records"))
+        .as[(String, String, Int)].collect().toSet
+      // one 3-record session spanning the restart: 10:00 → 10:40+30min
+      assert(rows == Set(("2024-01-01 10:00:00", "2024-01-01 11:10:00", 3)),
+        s"expected one merged session [10:00,11:10) n=3, got $rows")
+    }
+  }
 }
