@@ -20,6 +20,51 @@ object TextQueries {
   def normSql(c: String): String =
     s"regexp_replace(lower(regexp_replace(trim($c), '[ \\t\\n\\r\\f]+', ' ', 'g')), '\\.$$', '')"
 
+  /** Context-window chunking stage shared by q60/q62/q63: W-token
+    * windows with the given stride over normalized text, one row per
+    * chunk with its text and md5. Narrow 1:N (split → posexplode →
+    * slice), zero shuffle at any scale.
+    */
+  private[queries] def chunkStage(docs: DataFrame, w: Int, stride: Int): DataFrame =
+    docs
+      .select(col("doc_id"), normalizeTranscript(col("text")).as("__norm"))
+      // empty/NULL docs produce NO chunks (null-safe on both engines:
+      // Spark size(split(NULL)) = -1 vs DuckDB len(NULL) = NULL)
+      .filter(length(col("__norm")) > 0)
+      .select(col("doc_id"), split(col("__norm"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        expr(s"CAST(floor((greatest(n - $w, 0) + ${stride - 1}) / $stride) AS INT)")
+          .as("extra"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0), col("extra"))).as(Seq("chunk_idx", "__x")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("int").as("chunk_start"),
+        least(lit(w), col("n") - col("chunk_idx") * stride).cast("int")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("chunk_idx") * stride + 1, lit(w)), " ")
+          .as("chunk_text"))
+      .withColumn("chunk_md5", md5(col("chunk_text")))
+
+  /** DuckDB CTE chain (no leading WITH) twinning [[chunkStage]] over
+    * `src`; final relation `<p>ch` has (doc_id, chunk_idx,
+    * chunk_start, n_chunk_tokens, chunk_text, chunk_md5).
+    */
+  private[queries] def chunksCtes(p: String, src: String, w: Int, stride: Int): String =
+    s"""${p}tk AS (
+       |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM $src
+       |  WHERE length(${normSql("text")}) > 0),
+       |${p}m AS (SELECT doc_id, toks, len(toks) AS n,
+       |    (greatest(n - $w, 0) + ${stride - 1}) // $stride AS extra FROM ${p}tk),
+       |${p}e AS (SELECT doc_id, toks, n, CAST(unnest(generate_series(0, extra)) AS INT) AS chunk_idx FROM ${p}m),
+       |${p}ch AS (
+       |  SELECT doc_id, chunk_idx,
+       |    CAST(chunk_idx * $stride AS INT) AS chunk_start,
+       |    CAST(least($w, n - chunk_idx * $stride) AS INT) AS n_chunk_tokens,
+       |    array_to_string(list_slice(toks, chunk_idx * $stride + 1, chunk_idx * $stride + $w), ' ') AS chunk_text,
+       |    md5(array_to_string(list_slice(toks, chunk_idx * $stride + 1, chunk_idx * $stride + $w), ' ')) AS chunk_md5
+       |  FROM ${p}e)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------ q21 explode + word count
     QueryDef(
@@ -238,6 +283,7 @@ object TextQueries {
               |FROM tk ORDER BY doc_id""".stripMargin)),
 
     // ---------------- q60 document chunking (context-window prep, 1:N)
+    // (chunk derivation shared with q62/q63 via chunkStage/chunksSql)
     // The training-pipeline op the text family was missing: split each
     // document into fixed-size token windows (W=64) with stride 48
     // (16-token overlap), the standard context-window preparation
@@ -251,40 +297,61 @@ object TextQueries {
     // engine-wide lambda-CSE rule, BENCH.md §3.3).
     QueryDef(
       "q60_chunk_documents",
+      (s, d) =>
+        chunkStage(t(s, d, "documents"), 64, 48)
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+            col("n_chunk_tokens"), col("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("WITH " + chunksCtes("c_", "documents", 64, 48) + "\n" +
+        """SELECT doc_id, chunk_idx, chunk_start, n_chunk_tokens, chunk_md5
+          |FROM c_ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---------------------- q62 chunk-level EXACT dedup (q60 → q29 shape)
+    // The granularity real training pipelines dedup at: identical
+    // 64-token windows collapse ACROSS documents, keeping the
+    // lexicographically first (doc_id, chunk_idx). The keeper is the
+    // min of a single packed BIGINT doc_id·10^6 + chunk_idx so both
+    // engines elect it with one order-independent MIN — no two-level
+    // min-within-min. Hash-partitioned agg on the md5, same scale
+    // shape as q29.
+    QueryDef(
+      "q62_chunk_dedup",
+      (s, d) =>
+        chunkStage(t(s, d, "documents"), 64, 48)
+          .select(col("chunk_md5"),
+            (col("doc_id") * 1000000L + col("chunk_idx")).as("ref"))
+          .groupBy(col("chunk_md5"))
+          .agg(min(col("ref")).as("kref"), count(lit(1)).as("n_copies"))
+          .select(col("chunk_md5"),
+            expr("CAST(kref div 1000000 AS BIGINT)").as("keeper_doc"),
+            expr("CAST(kref % 1000000 AS INT)").as("keeper_idx"),
+            col("n_copies"))
+          .orderBy(col("chunk_md5")),
+      Some("WITH " + chunksCtes("c_", "documents", 64, 48) + "\n" +
+        """SELECT chunk_md5,
+          |  CAST(min(doc_id * 1000000 + chunk_idx) // 1000000 AS BIGINT) AS keeper_doc,
+          |  CAST(min(doc_id * 1000000 + chunk_idx) % 1000000 AS INT) AS keeper_idx,
+          |  COUNT(*) AS n_copies
+          |FROM c_ch GROUP BY chunk_md5 ORDER BY chunk_md5""".stripMargin)),
+
+    // ------------- q63 chunk-level minhash NEAR-dup (q60 → q31 shape)
+    // Near-duplicate chunk pairs via the same minhash-LSH operator the
+    // document level uses, with the packed chunk ref as the id — a
+    // shifted/rewritten window that exact chunk dedup misses. Both
+    // sides re-normalize the chunk text through the shared pair
+    // derivation, so parity holds by construction.
+    QueryDef(
+      "q63_chunk_neardup",
       (s, d) => {
-        val w = 64
-        val stride = 48
-        t(s, d, "documents")
-          .select(col("doc_id"), normalizeTranscript(col("text")).as("__norm"))
-          // empty/NULL docs produce NO chunks (the family's empty-norm
-          // → 0-token convention, q25; the length guard is null-safe
-          // on both engines — Spark's size(split(NULL)) = -1 vs
-          // DuckDB's len(NULL) = NULL would otherwise diverge)
-          .filter(length(col("__norm")) > 0)
-          .select(col("doc_id"), split(col("__norm"), " ").as("toks"))
-          .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-          .select(col("doc_id"), col("toks"), col("n"),
-            expr(s"CAST(floor((greatest(n - $w, 0) + ${stride - 1}) / $stride) AS INT)")
-              .as("extra"))
-          .select(col("doc_id"), col("toks"), col("n"),
-            posexplode(sequence(lit(0), col("extra"))).as(Seq("chunk_idx", "__x")))
-          .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
-            (col("chunk_idx") * stride).cast("int").as("chunk_start"),
-            least(lit(w), col("n") - col("chunk_idx") * stride).cast("int")
-              .as("n_chunk_tokens"),
-            md5(array_join(slice(col("toks"),
-              col("chunk_idx") * stride + 1, lit(w)), " ")).as("chunk_md5"))
-          .orderBy(col("doc_id"), col("chunk_idx"))
+        val chunks = chunkStage(t(s, d, "documents"), 64, 48)
+          .select((col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+            col("chunk_text").as("text"))
+        graft.operators.Dedup.minhashLshPairs(chunks, "doc_id", "text",
+            shingleN = 3, k = 8, bands = 4, threshold = 0.5, maxBucketSize = 64)
+          .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH tk AS (
-              |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents
-              |  WHERE length(${normSql("text")}) > 0),
-              |m AS (SELECT doc_id, toks, len(toks) AS n,
-              |    (greatest(n - 64, 0) + 47) // 48 AS extra FROM tk),
-              |e AS (SELECT doc_id, toks, n, CAST(unnest(generate_series(0, extra)) AS INT) AS chunk_idx FROM m)
-              |SELECT doc_id, chunk_idx,
-              |  CAST(chunk_idx * 48 AS INT) AS chunk_start,
-              |  CAST(least(64, n - chunk_idx * 48) AS INT) AS n_chunk_tokens,
-              |  md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
-              |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)))
+      Some("WITH " + chunksCtes("c_", "documents", 64, 48) + ",\n" +
+        "src AS (SELECT doc_id * 1000000 + chunk_idx AS doc_id, chunk_text AS text FROM c_ch),\n" +
+        DedupQueries.minhashPairsCtes("mh_", "src", 0.5) + "\n" +
+        "SELECT id_a, id_b, est_jaccard FROM mh_pairs ORDER BY id_a, id_b")))
 }
