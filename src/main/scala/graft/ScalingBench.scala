@@ -405,7 +405,11 @@ object ScalingBench {
       val rej = p.rejectedPairs.map(m =>
         f"""{"ratio":${m.ratio}%.3f,"ext_cpu":${m.extCpu}%.3f,"reason":"${m.reason}"}""")
         .mkString("[", ",", "]")
-      f"""{"raw":${p.raw}%.3f,"ceiling":${p.ceil}%.3f,"ceiling_raw":${p.ceilRaw}%.3f,"ceiling_probe_tries":${p.ceilTries},"ceiling_valid":${p.ceilValid},"pairs_valid":${p.pairsValid},"dispersion":${p.dispersion}%.3f,"dispersion_valid":${p.dispersionValid},"valid":${p.valid},"normalized":${p.norm}%.3f,"sec_lo":${p.tLo}%.2f,"sec_hi":${p.tHi}%.2f,"pair_ratios":$prs,"pair_ext_cpu":$ext,"rejected_pairs":$rej}"""
+      // a budget-exhausted sentinel pair has ratio 0, making max/min
+      // non-finite — Infinity is not valid JSON and would break the
+      // driver's artifact parse; clamp to a visibly-absurd finite value
+      val disp = if (java.lang.Double.isFinite(p.dispersion)) p.dispersion else 999.999
+      f"""{"raw":${p.raw}%.3f,"ceiling":${p.ceil}%.3f,"ceiling_raw":${p.ceilRaw}%.3f,"ceiling_probe_tries":${p.ceilTries},"ceiling_valid":${p.ceilValid},"pairs_valid":${p.pairsValid},"dispersion":$disp%.3f,"dispersion_valid":${p.dispersionValid},"valid":${p.valid},"normalized":${p.norm}%.3f,"sec_lo":${p.tLo}%.2f,"sec_hi":${p.tHi}%.2f,"pair_ratios":$prs,"pair_ext_cpu":$ext,"rejected_pairs":$rej}"""
     }.mkString("[", ",", "]")
     f"""{"cpus_lo":$lo,"cpus_hi":$hi,"work_scale":$workScale,"reps":$reps,"headline_rule":"median_valid_pass","sec_lo":${best.tLo}%.2f,"sec_hi":${best.tHi}%.2f,"raw_efficiency":${best.raw}%.3f,"machine_cpu_ceiling":${best.ceil}%.3f,"machine_cpu_ceiling_raw":${best.ceilRaw}%.3f,"normalized_efficiency":${best.norm}%.3f,"headline_valid":${best.valid},"attempts":$attempts}"""
   }
