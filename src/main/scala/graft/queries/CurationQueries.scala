@@ -20,6 +20,42 @@ object CurationQueries {
   private def vnormSql(a: String) =
     s"sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($a[CAST(i AS INT)] AS DOUBLE))))"
 
+  /** CTE chain (no leading WITH) deriving embedding-cosine near-dup
+    * pairs via banded hyperplane LSH over the `embeddings` table;
+    * final relation `<p>pairs` has (id_a, id_b, cosine ≥ threshold).
+    * Shared by q47 and q64.
+    */
+  private def embedPairsCtes(p: String, threshold: Double): String = {
+    val planeDot = (bit: String) =>
+      s"""list_sum(list_transform(range(0, 64), dd ->
+         |      CAST(embedding[CAST(dd + 1 AS INT)] AS DOUBLE) *
+         |      (CAST(list_sum(list_transform(range(0, 4), c ->
+         |         (strpos('0123456789abcdef', substr(md5($bit || ':' || dd), CAST(c + 1 AS INT), 1)) - 1)
+         |         * CAST(power(16, 3 - c) AS BIGINT))) AS DOUBLE) / 65536.0 - 0.5)))""".stripMargin
+    val bandVal = (j: Int) => (0 until 4).map { i =>
+      val b = j * 4 + i
+      s"CASE WHEN ${planeDot(s"'$b'")} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    val keyUnion = (0 until 4).map { j =>
+      s"SELECT vec_id, $j AS band, CAST(${bandVal(j)} AS BIGINT) AS band_val FROM embeddings"
+    }.mkString(" UNION ALL ")
+    s"""${p}keys AS ($keyUnion),
+       |${p}cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM ${p}keys a JOIN ${p}keys b ON a.band = b.band AND a.band_val = b.band_val
+       |    AND a.vec_id < b.vec_id),
+       |${p}pr AS (
+       |  SELECT id_a, id_b,
+       |    ${dotSql("ea.embedding", "eb.embedding")} /
+       |      (${vnormSql("ea.embedding")} * ${vnormSql("eb.embedding")}) AS raw
+       |  FROM ${p}cand
+       |  JOIN embeddings ea ON ea.vec_id = ${p}cand.id_a
+       |  JOIN embeddings eb ON eb.vec_id = ${p}cand.id_b
+       |  WHERE ${vnormSql("ea.embedding")} > 0 AND ${vnormSql("eb.embedding")} > 0),
+       |${p}pairs AS (
+       |  SELECT id_a, id_b, round(raw, 6) AS cosine FROM ${p}pr WHERE raw >= $threshold)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ------------- q47 embedding-cosine near-dup pairs (banded-LSH blocked)
     // Candidate generation via BANDED hyperplane LSH (4 bands × 4 bits
@@ -35,36 +71,38 @@ object CurationQueries {
             nBits = 16, bands = 4, threshold = 0.2)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some {
-        val planeDot = (bit: String) =>
-          s"""list_sum(list_transform(range(0, 64), dd ->
-             |      CAST(embedding[CAST(dd + 1 AS INT)] AS DOUBLE) *
-             |      (CAST(list_sum(list_transform(range(0, 4), c ->
-             |         (strpos('0123456789abcdef', substr(md5($bit || ':' || dd), CAST(c + 1 AS INT), 1)) - 1)
-             |         * CAST(power(16, 3 - c) AS BIGINT))) AS DOUBLE) / 65536.0 - 0.5)))""".stripMargin
-        val bandVal = (j: Int) => (0 until 4).map { i =>
-          val b = j * 4 + i
-          s"CASE WHEN ${planeDot(s"'$b'")} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
-        }.mkString(" + ")
-        val keyUnion = (0 until 4).map { j =>
-          s"SELECT vec_id, $j AS band, CAST(${bandVal(j)} AS BIGINT) AS band_val FROM embeddings"
-        }.mkString(" UNION ALL ")
-        s"""WITH keys AS ($keyUnion),
-           |cand AS (
-           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-           |  FROM keys a JOIN keys b ON a.band = b.band AND a.band_val = b.band_val
-           |    AND a.vec_id < b.vec_id),
-           |pr AS (
-           |  SELECT id_a, id_b,
-           |    ${dotSql("ea.embedding", "eb.embedding")} /
-           |      (${vnormSql("ea.embedding")} * ${vnormSql("eb.embedding")}) AS raw
-           |  FROM cand
-           |  JOIN embeddings ea ON ea.vec_id = cand.id_a
-           |  JOIN embeddings eb ON eb.vec_id = cand.id_b
-           |  WHERE ${vnormSql("ea.embedding")} > 0 AND ${vnormSql("eb.embedding")} > 0)
-           |SELECT id_a, id_b, round(raw, 6) AS cosine FROM pr WHERE raw >= 0.2
-           |ORDER BY id_a, id_b""".stripMargin
-      }),
+      Some("WITH " + embedPairsCtes("e_", 0.2) +
+        "\nSELECT id_a, id_b, cosine FROM e_pairs ORDER BY id_a, id_b")),
+
+    // --------- q64 embedding near-dup clusters (q47 pairs → components)
+    // The third pair family resolved to clusters: connected components
+    // over the embedding-cosine near-dup graph on the embeddings
+    // universe (q61 covers the text-side minhash ∪ simhash graph).
+    // A model-embedding dedup pass keeps one canonical vector per
+    // semantic cluster — the curation decision, not just the pair list.
+    QueryDef(
+      "q64_embed_neardup_clusters",
+      (s, d) => {
+        val pairs = Ann.embedNearDupPairs(t(s, d, "embeddings"), "vec_id",
+            "embedding", nBits = 16, bands = 4, threshold = 0.2)
+          .select(col("id_a"), col("id_b"))
+        val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        val sizes = cc.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "cluster_id")
+          .select(col("id").as("vec_id"), col("cluster_id"),
+            col("cluster_size"),
+            (col("id") === col("cluster_id")).as("is_canonical"))
+          .orderBy(col("vec_id"))
+      },
+      Some("WITH RECURSIVE " + embedPairsCtes("e_", 0.2) + ",\n" +
+        "u_pairs AS (SELECT id_a, id_b FROM e_pairs),\n" +
+        DedupQueries.closureCtes("cc_", "u_pairs") + ",\n" +
+        """sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc_cl GROUP BY 1)
+          |SELECT cc_cl.id AS vec_id, cc_cl.cluster_id, sz.cluster_size,
+          |  cc_cl.id = cc_cl.cluster_id AS is_canonical
+          |FROM cc_cl JOIN sz USING (cluster_id)
+          |ORDER BY vec_id""".stripMargin)),
 
     // ------------------------ q48 corpus curation keep-list (end-to-end)
     // The combined pipeline: quality gates (token count, stopword

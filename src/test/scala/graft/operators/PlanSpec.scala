@@ -114,4 +114,37 @@ class PlanSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bucketed_b")
     }
   }
+
+  test("chunking is a narrow 1:N — q60's only exchange is the output sort (zero-shuffle at 100 TB)") {
+    val plan = formatted(
+      graft.SparkEntry.queries("q60_chunk_documents")(spark, "/root/testdata/sf0.001"))
+    val exchanges = plan.linesIterator.filter(_.contains("Arguments: ") )
+      .filter(l => l.contains("hashpartitioning") || l.contains("rangepartitioning")).toSeq
+    assert(plan.contains("Generate")) // posexplode, not a join
+    assert(!plan.contains("hashpartitioning"),
+      s"chunking itself must not shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("chunk dedup q62 plans as partial+final hash agg — exactly one hash exchange, no window") {
+    val plan = formatted(
+      graft.SparkEntry.queries("q62_chunk_dedup")(spark, "/root/testdata/sf0.001"))
+    val hashEx = plan.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one hash exchange (the md5 groupBy), got $hashEx:\n$plan")
+    assert(!plan.contains("Window"), "no window sort in the dedup path")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"))
+  }
+
+  test("connected components: every star round is equi-join shaped — no cartesian, no neighbor-list collect") {
+    import spark.implicits._
+    // a chain forces ≥2 star rounds; the converged plan (last smallStar
+    // + label projection) must be hash-join shaped
+    val pairs = (0L until 20L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val plan = formatted(cc)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"star rounds must stay equi-join shaped:\n$plan")
+    assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
+      "no neighbor-list aggregation — a hot node's neighborhood must never land on one task")
+    assert(cc.as[(Long, Long)].collect().toMap.values.toSet == Set(0L))
+  }
 }
