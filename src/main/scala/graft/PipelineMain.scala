@@ -16,6 +16,7 @@ import graft.streaming.{ClipMeta, ClipPipeline, GraftQueryListener, Metrics}
   *   decode+normalize → mapped-record sink        (M1–M10, F1–F5)
   *   keyed stateful dedup → decisions sink        (D1)
   *   tumbling rollup (watermarked) → rollup sink  (A3/D4)
+  *   session-window merge → sessions sink         (D1b; TWS on --rocksdb)
   *   [optional] transcript-update join → sink     (J3)
   *
   * Every sink is the exactly-once batchId-committed MERGE protocol
@@ -36,8 +37,9 @@ import graft.streaming.{ClipMeta, ClipPipeline, GraftQueryListener, Metrics}
   *   --interval <dur>    Trigger.ProcessingTime instead of --once
   *   --rocksdb           use the RocksDB state store provider
   *   --pipelines <csv>   enable only the named pipelines out of
-  *                       mapped,dedup,rollup,join (default: the first
-  *                       three, plus join when --updates is given);
+  *                       mapped,dedup,rollup,sessions,join (default:
+  *                       the first four, plus join when --updates is
+  *                       given);
   *                       an empty or invalid selection REFUSES to boot
   *                       (exit 2) — the reference's zero-mapper guard
   *                       (LabToFhirProcessor.java:26-29)
@@ -54,7 +56,7 @@ object PipelineMain {
 
   private val BooleanFlags = Set("once", "rocksdb")
 
-  private[graft] val AllPipelines = Seq("mapped", "dedup", "rollup", "join")
+  private[graft] val AllPipelines = Seq("mapped", "dedup", "rollup", "sessions", "join")
 
   /** Enabled-pipeline selection with the reference's boot guards:
     * unknown names and an empty selection are refused outright.
@@ -63,7 +65,7 @@ object PipelineMain {
     val requested = opt.get("pipelines") match {
       case Some(csv) => csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq.distinct
       case None =>
-        Seq("mapped", "dedup", "rollup") ++
+        Seq("mapped", "dedup", "rollup", "sessions") ++
           (if (opt.contains("updates")) Seq("join") else Nil)
     }
     val unknown = requested.filterNot(AllPipelines.contains)
@@ -136,7 +138,8 @@ object PipelineMain {
     val r = run(spark, opt, enabled)
 
     // metrics summary (D8) — rows processed per query + late drops
-    val summary = Seq("graft_mapped", "graft_dedup", "graft_rollup", "graft_join")
+    val summary = Seq("graft_mapped", "graft_dedup", "graft_rollup",
+      "graft_sessions", "graft_join")
       .map(n => s""""$n":{"rows":${r.listener.totalInputRows(n)},"batches":${r.listener.batches(n)},"late_dropped":${r.listener.droppedByWatermark(n)}}""")
       .mkString("{", ",", "}")
     // lineage reconciliation (D7): every committed batch's partition
@@ -247,6 +250,34 @@ object PipelineMain {
         .start()
     }
 
+    // ---- query 5: session-window MERGE per clip_id (D1b) — the
+    //      reference's within-message merge generalized; on --rocksdb
+    //      this runs the transformWithState processor (typed state +
+    //      event-time timers), otherwise the portable fMGWS twin, so a
+    //      deployment exercises whichever state API its store supports
+    val q5 = if (!enabled.contains("sessions")) None else Some {
+      val sessSink = new ExactlyOnceSink(s"$output/sessions",
+        Seq("clip_id", "session_start"))
+      sinks += ("sessions" -> sessSink)
+      val meta = clipStream()
+        .select(col("clip_id"), col("sr_hz"), col("dur_ms"), col("codec"),
+          col("transcript"), col("event_time").cast("timestamp").as("event_time"),
+          xxhash64(col("clip_id"), col("event_time")).as("event_id"))
+        .withWatermark("event_time", watermark)
+        .as[ClipMeta]
+      val merged =
+        if (opt.contains("rocksdb"))
+          graft.streaming.TwsSessionMerge.sessionMergeStageTws(meta)
+        else ClipPipeline.sessionMergeStage(meta)
+      merged.toDF()
+        .writeStream
+        .queryName("graft_sessions")
+        .foreachBatch((df: DataFrame, id: Long) => sessSink.write(df, id))
+        .option("checkpointLocation", s"$ckpt/sessions")
+        .trigger(trigger)
+        .start()
+    }
+
     // ---- query 4: transcript-update interval join (J3; needs --updates)
     val q4 = if (!enabled.contains("join")) None else Some {
       val updDir = opt("updates")
@@ -271,7 +302,8 @@ object PipelineMain {
         .start()
     }
 
-    (q1.toSeq ++ q2.toSeq ++ q3.toSeq ++ q4.toSeq).foreach(_.awaitTermination())
+    (q1.toSeq ++ q2.toSeq ++ q3.toSeq ++ q5.toSeq ++ q4.toSeq)
+      .foreach(_.awaitTermination())
     // progress events arrive on the async listener bus — drain it
     // before detaching, or the summary can miss the final micro-batch
     if (!org.apache.spark.graftbridge.ListenerBridge

@@ -13,9 +13,9 @@ class PipelineMainSpec extends AnyFunSuite {
 
   test("default selection: core pipelines; join auto-enables with --updates") {
     assert(PipelineMain.selectPipelines(Map.empty) ==
-      Seq("mapped", "dedup", "rollup"))
+      Seq("mapped", "dedup", "rollup", "sessions"))
     assert(PipelineMain.selectPipelines(Map("updates" -> "/x")) ==
-      Seq("mapped", "dedup", "rollup", "join"))
+      Seq("mapped", "dedup", "rollup", "sessions", "join"))
   }
 
   test("--pipelines narrows the set and preserves order, deduplicated") {
@@ -54,8 +54,8 @@ class PipelineMainSpec extends AnyFunSuite {
 
     val r = PipelineMain.run(spark,
       Map("input" -> input, "output" -> out, "checkpoint" -> s"$out/_ckpt"),
-      Seq("mapped", "dedup", "rollup"))
-    assert(r.sinks.keySet == Set("mapped", "dedup", "rollup"))
+      Seq("mapped", "dedup", "rollup", "sessions"))
+    assert(r.sinks.keySet == Set("mapped", "dedup", "rollup", "sessions"))
 
     // lineage conservation per sink: each committed batch's partition
     // counts sum to its observed total, and the totals equal what a
@@ -81,6 +81,44 @@ class PipelineMainSpec extends AnyFunSuite {
 
     // dedup decisions: single-batch AvailableNow drains every input row
     assert(r.sinks("dedup").readCommitted(spark).count() == inputRows)
+
+    // sessions: the committed closed-session set must equal the
+    // single-batch model (per key: event-time order, split at the
+    // 30-min gap; every split-closed session emits, the final open one
+    // only if lastEvent + gap < global max − 10-min watermark) and
+    // conserve rows: Σ n_records over committed sessions + withheld
+    // open-session rows = input rows
+    val gapUs = 30L * 60 * 1000 * 1000
+    val wmUs = 10L * 60 * 1000 * 1000
+    val byKey = spark.read.parquet(input)
+      .select("clip_id", "event_time").as[(String, java.time.LocalDateTime)]
+      .collect()
+      .map { case (k, t) =>
+        (k, t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L) }
+      .groupBy(_._1)
+    val maxUs = byKey.values.flatten.map(_._2).max
+    var expectedClosed = 0L
+    var withheldRows = 0L
+    byKey.values.foreach { rows =>
+      val ts = rows.map(_._2).sorted
+      val sessions = ts.foldLeft(List.empty[List[Long]]) {
+        case (Nil, t) => List(List(t))
+        case (cur :: done, t) =>
+          if (t > cur.head + gapUs) List(t) :: cur :: done
+          else (t :: cur) :: done
+      }
+      val (open :: closed) = sessions: @unchecked // head = latest session
+      expectedClosed += closed.size
+      if (open.head + gapUs < maxUs - wmUs) expectedClosed += 1
+      else withheldRows += open.size
+    }
+    val committedSessions = r.sinks("sessions").readCommitted(spark)
+    assert(committedSessions.count() == expectedClosed,
+      s"sessions: committed ${committedSessions.count()} != model $expectedClosed")
+    val committedRecords = committedSessions
+      .agg(org.apache.spark.sql.functions.sum("n_records")).head().getLong(0)
+    assert(committedRecords + withheldRows == inputRows,
+      s"session row conservation: $committedRecords committed + $withheldRows withheld != $inputRows input")
   }
 
   test("parseArgs: value flags, boolean flags, malformed input") {
