@@ -266,9 +266,86 @@ class MultiBatchModelSpec extends AnyFunSuite {
     out.toSet
   }
 
+  /** Session-MERGE (fMGWS `sessionMergeStage` / TWS `TwsSessionMerge`)
+    * multi-batch model: row-level late filter with the two-batch lag
+    * (the fMGWS family's filter, same as dedup); per key-with-data the
+    * fold splits at the gap (split-closed sessions emit immediately,
+    * regardless of watermark) and re-arms one timeout to
+    * max(lastEvent + gap, current eviction watermark + 1); a key
+    * WITHOUT surviving data in a batch fires its timeout iff
+    * timeout < that batch's eviction watermark (max event time through
+    * the previous batch − delay; the final no-data flush uses the
+    * all-data watermark), emitting the open session and clearing state
+    * — a later row for that key then opens a FRESH session.
+    */
+  private def modelSessionMerge(
+      batches: Seq[Seq[ClipMeta]]): Seq[(String, Int, String, Long, Long)] = {
+    final case class Acc(n: Int, lastT: String, lastMs: Long, firstMs: Long)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String, Long, Long)]
+    val state = scala.collection.mutable.Map.empty[String, Acc]
+    val timeout = scala.collection.mutable.Map.empty[String, Long]
+    def close(key: String, a: Acc): (String, Int, String, Long, Long) =
+      (key, a.n, a.lastT, a.firstMs, a.lastMs + GapMs)
+    val nB = batches.size
+    for (k <- 0 to nB) { // data batches + final no-data flush
+      val wmE =
+        if (k == 0) 0L
+        else maxTime(batches.take(k).flatten).map(_ - DelayMs).getOrElse(0L)
+      val surv: Map[String, Seq[ClipMeta]] =
+        if (k < nB) {
+          val wmL = wmLate(batches, k).getOrElse(Long.MinValue)
+          batches(k).filter(_.event_time.getTime > wmL).groupBy(_.clip_id)
+        } else Map.empty
+      surv.foreach { case (key, rows) =>
+        var open = state.get(key).orNull
+        rows.sortBy(r => (r.event_time.getTime, r.event_id)).foreach { r =>
+          val t = r.event_time.getTime
+          if (open == null) open = Acc(1, r.transcript, t, t)
+          else if (t > open.lastMs + GapMs) {
+            out += close(key, open)
+            open = Acc(1, r.transcript, t, t)
+          } else open = Acc(open.n + 1,
+            if (t >= open.lastMs) r.transcript else open.lastT,
+            math.max(open.lastMs, t), math.min(open.firstMs, t))
+        }
+        state(key) = open
+        timeout(key) = math.max(open.lastMs + GapMs, wmE + 1)
+      }
+      (state.keySet -- surv.keySet).toSeq.foreach { key =>
+        if (timeout(key) < wmE) {
+          out += close(key, state(key))
+          state -= key
+          timeout -= key
+        }
+      }
+    }
+    out.toSeq.sorted
+  }
+
   // -------------------------------------------------------- the tests
 
   private val seeds = Seq(1, 2, 3, 4, 7)
+
+  test("session-MERGE model matches BOTH state APIs on adversarial seeds (s21/s22 cross-batch)") {
+    def collect(rows: Seq[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getString(0), r.getInt(1), r.getString(3),
+        r.getTimestamp(4).getTime, r.getTimestamp(5).getTime)).sorted
+    seeds.foreach { seed =>
+      val batches = gen(seed)
+      val want = modelSessionMerge(batches)
+      assert(want.nonEmpty, s"seed $seed must close at least one session")
+      val fm = runEngine(batches, "append") { st =>
+        ClipPipeline.sessionMergeStage(st.as[ClipMeta], GapMs).toDF()
+      }
+      assert(collect(fm) == want, s"fMGWS seed $seed")
+      val tw = graft.streaming.TwsDedup.withRocksDB(spark) {
+        runEngine(batches, "append") { st =>
+          graft.streaming.TwsSessionMerge.sessionMergeStageTws(st.as[ClipMeta], GapMs).toDF()
+        }
+      }
+      assert(collect(tw) == want, s"TWS seed $seed")
+    }
+  }
 
   test("tumbling append model matches the engine on adversarial seeds (s14)") {
     seeds.foreach { seed =>
