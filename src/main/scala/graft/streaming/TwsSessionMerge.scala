@@ -74,7 +74,9 @@ class SessionMergeProcessor(gapMs: Long)
       // one live timer per key: drop the superseded one, re-arm past
       // the current watermark (the fMGWS setTimeoutTimestamp rule;
       // ms timer API — round the µs close time UP)
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      // materialize before deleting: deleteTimer during the live
+      // listTimers iteration would mutate the store under its iterator
+      getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
       getHandle.registerTimer(math.max(
         Math.floorDiv(open.lastEventUs + gapMs * 1000L + 999L, 1000L),
         timerValues.getCurrentWatermarkInMs() + 1))

@@ -153,7 +153,12 @@ object ClipGen {
     * version a staged copy built by older synth code would be served
     * as "fresh" forever.
     */
-  private val SynthVersion = "synth-v4" // v4: staging-time tone-power margin assertions (r3 ADVICE)
+  /** Fixed staged-table fan-out (see the comment at the staging
+    * write): the layout serves every consumer, not the stager.
+    */
+  private val StagedParts = 64
+
+  private val SynthVersion = s"synth-v5-p$StagedParts" // v5: fixed staged fan-out (layout is part of the version)
 
   def sourceFingerprint(sfDir: String): String = {
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
@@ -191,7 +196,16 @@ object ClipGen {
     if (!fresh) {
       java.nio.file.Files.deleteIfExists(marker)
       clips(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        // FIXED fan-out, not the stager's defaultParallelism: the
+        // staged layout is shared by every consumer, and whoever
+        // touches the SF first after a fingerprint bump may be an
+        // 8-core Verify or 24-thread scaling JVM — an 8/24-file table
+        // starves the 32-core bench (measured: 24 files = 71 MB each
+        // ⇒ one split per file under maxPartitionBytes ⇒ 25% of cores
+        // idle through the decode hot path). 64 files ≈ 27 MB at
+        // sf0.1 keeps ≥2 splits per core at local[32] with no
+        // tiny-file overhead at small SFs.
+        .repartition(StagedParts)
         .write.mode("overwrite")
         .option("parquet.block.size", (16 * 1024 * 1024).toString)
         .parquet(dir)
@@ -254,7 +268,7 @@ object ClipGen {
           col("zero_crossings"), col("clipped"),
           round(col("tone_power_raw"), 3).as("tone_power"),
           col("tone_detected"))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(StagedParts)
         .write.mode("overwrite").parquet(clipsExpectedPath(sfDir))
       java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
     }
