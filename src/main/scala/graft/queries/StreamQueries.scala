@@ -843,6 +843,49 @@ object StreamQueries {
               |SELECT clip_id, 'update' AS kind, u_transcript AS payload, u_event_time AS event_time FROM upd
               |ORDER BY kind, clip_id, event_time, payload""".stripMargin)),
 
+    // ---------- s23 streaming keyed MERGE (upsert) sink — Iceberg MERGE
+    // The north rule's "idempotent exactly-once Iceberg MERGE sink"
+    // under the hard oracle (UpsertSink was ScalaTest-only): three
+    // micro-batches of clip metadata MERGE into a snapshot chain keyed
+    // by clip_id, latest version (event_id) wins. Versions are global,
+    // so the final snapshot is batch-schedule independent — per key,
+    // the max-event_id row over the whole stream — which is what makes
+    // a plain argmax oracle possible while still iterating the
+    // snapshot/pointer commit protocol across interleaved batches
+    // (hot-N keys receive competing rows in EVERY batch).
+    QueryDef(
+      "s23_stream_upsert",
+      (s, d) => {
+        val dir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
+        val outDir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_sink_upsert",
+          java.nio.file.Paths.get(d).getFileName.toString).toString
+        graft.sink.FsUtil.deleteRecursively(java.nio.file.Paths.get(outDir))
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, dir, eventsSchema,
+            maxFilesPerTrigger = Some(1)))
+        val sink = new graft.sink.UpsertSink(outDir, Seq("clip_id"), "event_id")
+        val q = clips.writeStream
+          .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$outDir/_checkpoint")
+          .start()
+        q.awaitTermination()
+        require(sink.latestCommitted.isDefined &&
+          java.nio.file.Files.list(
+            java.nio.file.Paths.get(outDir, "_commits")).count() == 3,
+          "s23 expects 3 committed MERGE batches")
+        sink.readLatest(s)
+          .select(col("clip_id"), col("sr_hz"), col("dur_ms"), col("codec"),
+            col("transcript"), col("event_time"), col("event_id"))
+          .orderBy(col("clip_id"))
+      },
+      Some(s"""WITH clips AS (${ClipGen.metaSql}),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY clip_id ORDER BY event_id DESC) AS rn
+              |  FROM clips)
+              |SELECT clip_id, sr_hz, dur_ms, codec, transcript, event_time, event_id
+              |FROM r WHERE rn = 1 ORDER BY clip_id""".stripMargin)),
+
     // --------------------------- s05 exactly-once foreachBatch sink (D2)
     QueryDef(
       "s05_exactly_once_sink",

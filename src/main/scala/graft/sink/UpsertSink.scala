@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
 
 /** Keyed exactly-once MERGE (upsert) sink — the full Iceberg-MERGE
   * analogue of the north star: each batch UPSERTS rows by `keyCols`
-  * (latest `versionCol` wins) into a snapshot table, committed with
-  * the same batchId-idempotent protocol as [[ExactlyOnceSink]].
+  * into a snapshot table with a VERSION GUARD (the max `versionCol`
+  * row wins per key, across batches as well as within one — a stale
+  * out-of-order batch never regresses a key), committed with the
+  * same batchId-idempotent protocol as [[ExactlyOnceSink]].
   *
   * Snapshot layout (a miniature of Iceberg's snapshot chain):
   *
@@ -70,26 +72,28 @@ class UpsertSink(outDir: String, keyCols: Seq[String], versionCol: String)
     Files.createDirectories(Paths.get(outDir, "_commits"))
     Files.createDirectories(Paths.get(outDir, "snapshots"))
 
-    // newest row per key within the incoming batch; ties on version
-    // are broken by a content hash so the winner is independent of
-    // shuffle order (deterministic replay contract)
+    val base = latestCommitted match {
+      case Some(v) => spark.read.parquet(snapshotDir(v).toString)
+      case None    => df.limit(0)
+    }
+    // VERSION-GUARDED MERGE (the Iceberg `WHEN MATCHED AND s.version >
+    // t.version THEN UPDATE` shape): one resolution window over
+    // base ∪ batch keeps the max-version row per key — an out-of-order
+    // or late-replayed batch carrying a STALE version can never
+    // regress a key (the previous anti-join shape was arrival-wins:
+    // whatever batch came last overwrote matched keys regardless of
+    // version). Ties break by content hash so the winner is
+    // independent of shuffle order AND of which side carried the row;
+    // the single window also dedups within-batch key collisions, so
+    // the merge is one shuffle, not a dedup window plus an anti-join.
+    val all = base.unionByName(df)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc,
-        xxhash64(df.columns.map(col): _*).desc)
-    val incoming = df
+        xxhash64(all.columns.map(col): _*).desc)
+    val merged = all
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-
-    val base = latestCommitted match {
-      case Some(v) => spark.read.parquet(snapshotDir(v).toString)
-      case None    => incoming.limit(0)
-    }
-    // MERGE: keep base rows whose key is absent from the batch, then
-    // add the batch rows (matched keys are thereby updated)
-    val merged = base
-      .join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(incoming)
 
     val staged = Paths.get(outDir, "snapshots", s"_staging-v=$batchId")
     merged

@@ -33,6 +33,20 @@ class UpsertSinkSpec extends AnyFunSuite {
       ("c", 1, "c1"))) // inserted
   }
 
+  test("version guard: a NEW batch carrying a stale version cannot regress a key") {
+    val dir = Files.createTempDirectory("upsert_stale_").toString
+    val sink = new UpsertSink(dir, Seq("k"), "v")
+    sink.write(df(("a", 5, "a5")), 0)
+    // batch 1 is a fresh batchId (not a replay) but its 'a' row is an
+    // out-of-order STALE version — MERGE must keep v5 and still insert d
+    sink.write(df(("a", 3, "stale"), ("d", 1, "d1")), 1)
+    val out = sink.readLatest(spark)
+      .select("k", "v", "payload").as[(String, Int, String)].collect().toSet
+    assert(out == Set(("a", 5, "a5"), ("d", 1, "d1")),
+      s"stale version must not overwrite: $out")
+    assert(sink.latestCommitted.contains(1L))
+  }
+
   test("replayed batchId is a no-op; latest pointer stays consistent") {
     val dir = Files.createTempDirectory("upsert_replay_").toString
     val sink = new UpsertSink(dir, Seq("k"), "v")
