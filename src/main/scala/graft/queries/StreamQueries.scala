@@ -713,6 +713,77 @@ object StreamQueries {
               |WHERE c.event_time <= (SELECT cutoff FROM co)
               |ORDER BY c.clip_id, c.event_id, u.u_event_time NULLS FIRST""".stripMargin)),
 
+    // ------------------ s24 stream-stream FULL OUTER interval join (J3)
+    // Completes the interval-join family: matched pairs, unmatched
+    // clips (null update side, evicted at watermark past t+window) AND
+    // unmatched updates (null clip side, evicted once the watermark
+    // passes their own time — no future surviving clip can match).
+    // The s09 provable-eviction cutoff applies to BOTH sides: every
+    // row at or below final-watermark − window − margin is provably
+    // evicted, so the append output restricted to the cutoff is the
+    // batch FULL JOIN restricted the same way. Joins on bare clip_id
+    // (no time-bucket split — see transcriptUpdateFullJoin's scaladoc
+    // for why bucketing is incompatible with full outer).
+    QueryDef(
+      "s24_stream_full_join",
+      (s, d) => {
+        StreamRunner.assertSingleBatchInput(s"$d/events.parquet")
+        val evB = s.read.parquet(s"$d/events.parquet")
+        // the clip-side watermark advances from the THINNED stream
+        // (event_id % 5 ≠ 0, see below), so the cutoff must use that
+        // side's max, not the unfiltered one
+        val m = evB.agg(
+          max(when(col("event_id") % 5 =!= 0, col("ts"))).as("m_clip"),
+          max(when(col("event_id") % 6 === 1, col("ts"))).as("m_upd")).head()
+        val mClip = m.getAs[java.time.LocalDateTime]("m_clip")
+        val mUpdRaw = m.getAs[java.time.LocalDateTime]("m_upd")
+        require(mClip != null && mUpdRaw != null,
+          "s24 needs rows on both thinned sides")
+        val mUpd = mUpdRaw.plusMinutes(3)
+        val cutoff = (if (mClip.isBefore(mUpd)) mClip else mUpd).minusMinutes(41)
+        // thin the clip side (drop event_id % 5 = 0): every update in
+        // the fixture derives from a clip event that matches it, so an
+        // unthinned full outer would never produce a null-clip row —
+        // the regime that distinguishes FULL from LEFT would be
+        // vacuous. Cold updates whose own clip is dropped (event_id ≡
+        // 25 mod 30) have no other occurrence of their clip_id and
+        // surface as (null, update) rows.
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+          .filter(col("event_id") % 5 =!= 0)
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .drop("sr_hz", "dur_ms", "codec", "transcript")
+        val updates = ClipGen.updatesProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+          .withColumn("u_event_time", col("u_event_time").cast("timestamp"))
+        val joined = ClipPipeline
+          .transcriptUpdateFullJoin(clips, updates, "30 minutes", "10 MINUTES")
+          .select(col("clip_id"), col("event_id"), col("event_time"),
+            col("u_clip_id"), col("u_transcript"), col("u_event_time"))
+        StreamRunner.runToMemory(joined, "append")
+          .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
+          .withColumn("u_event_time", col("u_event_time").cast("timestamp_ntz"))
+          .filter(
+            coalesce(col("event_time") <= lit(cutoff), lit(true)) &&
+            coalesce(col("u_event_time") <= lit(cutoff), lit(true)))
+          .orderBy(col("clip_id").asc_nulls_first,
+            col("event_id").asc_nulls_first,
+            col("u_clip_id").asc_nulls_first,
+            col("u_event_time").asc_nulls_first)
+      },
+      Some(s"""WITH clips AS (SELECT * FROM (${ClipGen.metaSql}) WHERE event_id % 5 <> 0),
+              |upd AS (${ClipGen.updatesSql}),
+              |co AS (SELECT least(
+              |    (SELECT max(ts) FROM events WHERE event_id % 5 <> 0),
+              |    (SELECT max(ts) FROM events WHERE event_id % 6 = 1) + INTERVAL 3 MINUTE) - INTERVAL 41 MINUTE AS cutoff)
+              |SELECT c.clip_id, c.event_id, c.event_time, u.clip_id AS u_clip_id, u.u_transcript, u.u_event_time
+              |FROM clips c FULL JOIN upd u ON c.clip_id = u.clip_id
+              |  AND u.u_event_time >= c.event_time
+              |  AND u.u_event_time <= c.event_time + INTERVAL 10 MINUTE
+              |WHERE (c.event_time <= (SELECT cutoff FROM co) OR c.clip_id IS NULL)
+              |  AND (u.u_event_time <= (SELECT cutoff FROM co) OR u.clip_id IS NULL)
+              |ORDER BY c.clip_id NULLS FIRST, c.event_id NULLS FIRST, u.clip_id NULLS FIRST, u.u_event_time NULLS FIRST""".stripMargin)),
+
     // ------------------------------- s04 streaming session windows (D4)
     QueryDef(
       "s04_stream_session",

@@ -458,6 +458,33 @@ object ClipPipeline {
     * once the watermark passes their join window (state eviction time).
     * Same bucketed equality key as the inner join.
     */
+  /** FULL OUTER watermarked interval join: matched pairs emit
+    * immediately; an unmatched CLIP emits (clip, null) once the
+    * watermark passes its join window, an unmatched UPDATE emits
+    * (null, update) once the watermark passes its own event time (no
+    * future surviving clip can still match it). Unlike the
+    * inner/left variants this joins on the BARE clip_id equality —
+    * the time-bucket state-key split explodes one side into two
+    * candidate buckets, and in full outer an unmatched exploded row
+    * would emit one null result PER bucket. The tradeoff is
+    * deliberate: hot-key state probing is quadratic per key here, so
+    * at scale prefer the bucketed inner/left variants unless
+    * both-side null accounting is required.
+    */
+  def transcriptUpdateFullJoin(clips: DataFrame, updates: DataFrame,
+      watermark: String, joinWindow: String): DataFrame = {
+    val c = clips.withWatermark("event_time", watermark)
+    val u = updates
+      .withColumnRenamed("clip_id", "u_clip_id")
+      .withWatermark("u_event_time", watermark)
+    c.join(
+        u,
+        expr(s"""clip_id = u_clip_id AND
+                 u_event_time >= event_time AND
+                 u_event_time <= event_time + INTERVAL $joinWindow"""),
+        "fullOuter")
+  }
+
   def transcriptUpdateLeftJoin(clips: DataFrame, updates: DataFrame,
       watermark: String, joinWindow: String): DataFrame = {
     val windowUs = parseDurationUs(joinWindow)
