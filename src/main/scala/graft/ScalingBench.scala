@@ -101,13 +101,17 @@ object ScalingBench {
 
   /** (totalJiffies, idleJiffies incl. iowait) from /proc/stat's first line.
     * steal/irq/softirq count as busy — on a virtualized shared host steal
-    * IS neighbor load, exactly the signal we want.
+    * IS neighbor load, exactly the signal we want. Only the first 8
+    * fields (user..steal) are summed: guest and guest_nice are already
+    * folded into user/nice by the kernel, so including them would
+    * double-count VM time and spuriously inflate the external-CPU
+    * fraction on a host running guests.
     */
   private[graft] def hostJiffies(): (Long, Long) = {
     val src = scala.io.Source.fromFile("/proc/stat")
     try {
       val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-      (f.sum, f(3) + (if (f.length > 4) f(4) else 0L))
+      (f.take(8).sum, f(3) + (if (f.length > 4) f(4) else 0L))
     } finally src.close()
   }
 
@@ -370,12 +374,16 @@ object ScalingBench {
       val norm: Double = math.min(raw / (if (ceilValid) ceil else 1.0), 1.0)
     }
     // bounded budgets: at most `passes`+2 pass runs chasing `passes`
-    // valid ones, and a global cap on pair executions (retries included)
-    // so a hopelessly contended box terminates with visible rejections
-    // instead of spinning
-    val pairBudget = new java.util.concurrent.atomic.AtomicInteger(
-      passes * reps + reps + 2)
+    // valid ones, and a global cap on pair executions (retries
+    // included) so a hopelessly contended box terminates with visible
+    // rejections instead of spinning. The budget must FUND every
+    // permitted pass (maxPassRuns × reps) plus a retry allowance — an
+    // underfunded final pass would burn a ceiling probe + partial
+    // pairs on a pass that is mathematically guaranteed invalid — and
+    // a pass is only STARTED while at least `reps` pairs remain.
     val maxPassRuns = passes + 2
+    val pairBudget = new java.util.concurrent.atomic.AtomicInteger(
+      maxPassRuns * reps + 2)
     def runPass(): Pass = {
       val (c, tries, ok) = measureCeiling(lo, hi)
       val measured = (1 to reps).map(_ =>
@@ -384,12 +392,12 @@ object ScalingBench {
     }
     val ps = scala.collection.mutable.ArrayBuffer.empty[Pass]
     while (ps.size < maxPassRuns && ps.count(_.valid) < passes &&
-        pairBudget.get() > 0) {
+        pairBudget.get() >= reps) {
       val p = runPass()
       ps += p
       if (!p.valid) System.err.println(
         f"[scaling] pass ${ps.size} invalid (ceiling=${p.ceilValid}, pairs=${p.pairsValid}, dispersion=${p.dispersion}%.2f≤$MaxPassDispersion) — contended window" +
-          (if (ps.size < maxPassRuns && pairBudget.get() > 0) ", re-running" else ""))
+          (if (ps.size < maxPassRuns && pairBudget.get() >= reps) ", re-running" else ""))
     }
     // headline = MEDIAN raw efficiency among valid passes (lower-middle
     // for even counts — with 2 valid passes this is the LOWER one, the

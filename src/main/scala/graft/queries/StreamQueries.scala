@@ -68,9 +68,15 @@ object StreamQueries {
     * arrive in ONE batch (asserted), so per key the fold sees the
     * full event-time-ordered row list: every session closed by
     * gap-SPLITTING emits unconditionally, and the final (open)
-    * session emits iff the flush watermark (global max event time −
-    * 12 h) strictly passes lastEvent + 30 min gap. Latest transcript
-    * wins by (event_time, event_id).
+    * session emits iff the flush watermark strictly passes the
+    * session's close timer — in the ENGINE'S MILLISECOND arithmetic:
+    * the timer is the µs close time rounded UP to ms
+    * (ceil(lastUs + gapUs)) and Spark's watermark is the µs max event
+    * time truncated DOWN to ms minus the 12 h delay. A µs-exact
+    * comparison here would be a latent flake: a session whose close
+    * time sits within ~1 ms of the flush watermark would be emitted
+    * by a µs oracle and withheld by the ms engine (or vice versa).
+    * Latest transcript wins by (event_time, event_id).
     */
   private val sessionMergeOracleSql: Option[String] =
     Some(s"""WITH clips AS (${ClipGen.metaSql}),
@@ -88,12 +94,13 @@ object StreamQueries {
             |    MAX(event_time) + INTERVAL 30 MINUTE AS session_end,
             |    MAX(event_time) AS last_t
             |  FROM g GROUP BY clip_id, sid),
-            |mx AS (SELECT max(event_time) - INTERVAL 12 HOUR AS wm FROM clips),
+            |mx AS (SELECT max(event_time) AS mt FROM clips),
             |ls AS (SELECT clip_id, MAX(sid) AS msid FROM sess GROUP BY clip_id)
             |SELECT s.clip_id, s.n_records, s.total_dur_ms, s.last_transcript,
             |  s.session_start, s.session_end
             |FROM sess s JOIN ls USING (clip_id)
-            |WHERE s.sid < ls.msid OR s.last_t + INTERVAL 30 MINUTE < (SELECT wm FROM mx)
+            |WHERE s.sid < ls.msid
+            |   OR (epoch_us(s.last_t) + 1800000000 + 999) // 1000 < epoch_us((SELECT mt FROM mx)) // 1000 - 43200000
             |ORDER BY clip_id, session_start""".stripMargin)
 
   val defs: Seq[QueryDef] = Seq(
@@ -824,13 +831,11 @@ object StreamQueries {
       "s17_sink_multibatch",
       (s, d) => {
         val dir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
-        // fixed per-SF dir wiped at query start (q59 pattern): a fresh
-        // createTempDirectory per invocation leaks a sink copy
-        // (data + _checkpoint) on every Bench/Verify pass
-        val outDir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_sink_mb",
-          java.nio.file.Paths.get(d).getFileName.toString).toString
-        graft.sink.FsUtil.deleteRecursively(java.nio.file.Paths.get(outDir))
+        // process-scoped sink work dir: no leak per pass (own dir is
+        // wiped, dead-pid siblings reaped) and no cross-JVM race (a
+        // FIXED shared dir wiped here would delete a concurrent
+        // Verify/Bench run's live checkpoint mid-query)
+        val outDir = graft.sink.FsUtil.processScopedWorkDir("graft_sink_mb", d)
         val clips = metaProjection(
           StreamRunner.parquetStream(s, dir, eventsSchema,
             maxFilesPerTrigger = Some(1)))
@@ -873,10 +878,7 @@ object StreamQueries {
         val clipsDir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
         val updDir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3,
           mod = 18, div = 6)
-        val outDir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_sink_union",
-          java.nio.file.Paths.get(d).getFileName.toString).toString
-        graft.sink.FsUtil.deleteRecursively(java.nio.file.Paths.get(outDir))
+        val outDir = graft.sink.FsUtil.processScopedWorkDir("graft_sink_union", d)
         val clips = metaProjection(
           StreamRunner.parquetStream(s, clipsDir, eventsSchema,
             maxFilesPerTrigger = Some(1)))
@@ -928,10 +930,7 @@ object StreamQueries {
       "s23_stream_upsert",
       (s, d) => {
         val dir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
-        val outDir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_sink_upsert",
-          java.nio.file.Paths.get(d).getFileName.toString).toString
-        graft.sink.FsUtil.deleteRecursively(java.nio.file.Paths.get(outDir))
+        val outDir = graft.sink.FsUtil.processScopedWorkDir("graft_sink_upsert", d)
         val clips = metaProjection(
           StreamRunner.parquetStream(s, dir, eventsSchema,
             maxFilesPerTrigger = Some(1)))
@@ -942,9 +941,12 @@ object StreamQueries {
           .option("checkpointLocation", s"$outDir/_checkpoint")
           .start()
         q.awaitTermination()
-        require(sink.latestCommitted.isDefined &&
-          java.nio.file.Files.list(
-            java.nio.file.Paths.get(outDir, "_commits")).count() == 3,
+        val commitCount = {
+          val stream = java.nio.file.Files.list(
+            java.nio.file.Paths.get(outDir, "_commits"))
+          try stream.count() finally stream.close()
+        }
+        require(sink.latestCommitted.isDefined && commitCount == 3,
           "s23 expects 3 committed MERGE batches")
         sink.readLatest(s)
           .select(col("clip_id"), col("sr_hz"), col("dur_ms"), col("codec"),
@@ -961,12 +963,9 @@ object StreamQueries {
     QueryDef(
       "s05_exactly_once_sink",
       (s, d) => {
-        // same fixed-dir + wipe discipline as s17 (one sink copy per SF
-        // on disk, never a leak per pass)
-        val outDir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_sink_s05",
-          java.nio.file.Paths.get(d).getFileName.toString).toString
-        graft.sink.FsUtil.deleteRecursively(java.nio.file.Paths.get(outDir))
+        // same process-scoped discipline as s17 (leak-free AND safe
+        // under concurrent JVMs)
+        val outDir = graft.sink.FsUtil.processScopedWorkDir("graft_sink_s05", d)
         val clips = metaProjection(
           StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
         val sink = new ExactlyOnceSink(outDir, Seq("event_id"))

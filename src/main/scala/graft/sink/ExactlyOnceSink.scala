@@ -216,6 +216,41 @@ object FsUtil {
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Per-SF sink WORK dir for a query family, scoped to THIS process:
+    * `<tmp>/<family>/<sf>-pid<pid>`. A fixed shared dir wiped at query
+    * start leaks nothing but races concurrent JVMs (one Verify wipes
+    * the other's live `_checkpoint` mid-query — no lock can fix that,
+    * the wipe itself is the conflict); a fresh temp dir per invocation
+    * is concurrency-safe but leaks one sink copy per pass. The
+    * process-scoped dir is both: the caller's own dir is wiped on
+    * every invocation (one process runs its queries sequentially), and
+    * sibling dirs whose owning pid is DEAD are reaped here, so disk
+    * holds at most one copy per LIVE process.
+    */
+  def processScopedWorkDir(family: String, sfDir: String): String = {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val parent = Paths.get(sys.props("java.io.tmpdir"), family)
+    val pid = ProcessHandle.current().pid()
+    val mine = parent.resolve(s"$sfName-pid$pid")
+    Files.createDirectories(parent)
+    // reap siblings owned by dead processes (any SF — the pid suffix
+    // is authoritative); never touch a live process's dir
+    val stream = Files.list(parent)
+    try stream.iterator.asScala.foreach { p =>
+      val name = p.getFileName.toString
+      val idx = name.lastIndexOf("-pid")
+      if (idx >= 0) {
+        val owner = name.substring(idx + 4)
+        val alive = owner.forall(_.isDigit) && owner.nonEmpty &&
+          ProcessHandle.of(owner.toLong).map[java.lang.Boolean](h => h.isAlive)
+            .orElse(java.lang.Boolean.FALSE)
+        if (!alive) FsUtil.deleteRecursively(p)
+      }
+    } finally stream.close()
+    FsUtil.deleteRecursively(mine) // own previous pass (same pid, sequential)
+    mine.toString
+  }
+
   /** Cross-PROCESS exclusive section for the shared /tmp staging dirs
     * (clip table, binary-file fixtures, events batches): two JVMs
     * staging the same SF concurrently — e.g. Verify and Bench — could

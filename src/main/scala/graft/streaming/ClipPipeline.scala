@@ -249,6 +249,54 @@ object ClipPipeline {
       session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp)
 
+  /** The session fold shared by BOTH state APIs (fMGWS
+    * [[sessionMergeFn]] and transformWithState
+    * [[TwsSessionMerge.SessionMergeProcessor]]) — one implementation,
+    * so a semantics tweak cannot diverge the twins and surface only
+    * as a late oracle failure. Folds (event-time, event_id)-sorted
+    * rows into the optional open accumulator with SPLITTING: a row
+    * farther than gap from the open session's last event CLOSES it
+    * and opens a new one — proper session-window semantics, not
+    * merge-until-quiet (a late row within the open session's span
+    * still merges; "latest transcript wins" is by EVENT time, so a
+    * late out-of-order record never overwrites a newer one). Returns
+    * (sessions closed by splitting, resulting open session).
+    */
+  private[streaming] def foldSessions(openStart: SessionAcc,
+      sorted: Seq[ClipMeta], gapMs: Long): (Seq[SessionAcc], SessionAcc) = {
+    var open = openStart
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAcc]
+    sorted.foreach { r =>
+      val rUs = epochUs(r.event_time)
+      if (open == null) {
+        open = SessionAcc(1, r.dur_ms, r.transcript, rUs, rUs)
+      } else if (rUs > open.lastEventUs + gapMs * 1000L) {
+        closed += open
+        open = SessionAcc(1, r.dur_ms, r.transcript, rUs, rUs)
+      } else {
+        open = SessionAcc(
+          n = open.n + 1,
+          totalDurMs = open.totalDurMs + r.dur_ms,
+          lastTranscript =
+            if (rUs >= open.lastEventUs) r.transcript
+            else open.lastTranscript,
+          lastEventUs = math.max(open.lastEventUs, rUs),
+          firstEventUs = math.min(open.firstEventUs, rUs))
+      }
+    }
+    (closed.toSeq, open)
+  }
+
+  /** Close timer for an open session in Spark's MILLISECOND timer
+    * API: the µs close time rounded UP (never fires before the
+    * watermark truly passes lastEvent + gap), floored at one past the
+    * current watermark (both timer APIs require a future timestamp).
+    */
+  private[streaming] def sessionTimeoutMs(open: SessionAcc, gapMs: Long,
+      currentWatermarkMs: Long): Long =
+    math.max(Math.floorDiv(open.lastEventUs + gapMs * 1000L + 999L, 1000L),
+      currentWatermarkMs + 1)
+
   /** Session-window MERGE per clip_id: occurrences of a key within
     * `gapMs` of each other accumulate into one state; when the
     * event-time watermark passes last-event + gap, the state times out
@@ -279,40 +327,12 @@ object ClipPipeline {
       val sorted = rows.toIndexedSeq.sortBy(r => (epochUs(r.event_time), r.event_id))
       if (sorted.isEmpty) Iterator.empty
       else {
-        // fold with SPLITTING: a row farther than gap from the open
-        // session's last event CLOSES it (emitted now) and opens a new
-        // one — proper session-window semantics, not merge-until-quiet.
-        // (A late row within the open session's span still merges.)
-        var open = state.getOption.orNull
-        val closed = scala.collection.mutable.ArrayBuffer.empty[SessionMerge]
-        sorted.foreach { r =>
-          val rUs = epochUs(r.event_time)
-          if (open == null) {
-            open = SessionAcc(1, r.dur_ms, r.transcript, rUs, rUs)
-          } else if (rUs > open.lastEventUs + gapMs * 1000L) {
-            closed += close(open) // gap exceeded → session over
-            open = SessionAcc(1, r.dur_ms, r.transcript, rUs, rUs)
-          } else {
-            open = SessionAcc(
-              n = open.n + 1,
-              totalDurMs = open.totalDurMs + r.dur_ms,
-              // "latest transcript wins" is by EVENT time — a late
-              // out-of-order record must not overwrite a newer one
-              lastTranscript =
-                if (rUs >= open.lastEventUs) r.transcript
-                else open.lastTranscript,
-              lastEventUs = math.max(open.lastEventUs, rUs),
-              firstEventUs = math.min(open.firstEventUs, rUs))
-          }
-        }
+        val (closed, open) =
+          foldSessions(state.getOption.orNull, sorted, gapMs)
         state.update(open)
-        // timeout must stay ahead of the current watermark (ms API —
-        // round the µs close time UP so the timer never fires before
-        // the watermark truly passes lastEvent + gap)
         state.setTimeoutTimestamp(
-          math.max(Math.floorDiv(open.lastEventUs + gapMs * 1000L + 999L, 1000L),
-            state.getCurrentWatermarkMs() + 1))
-        closed.iterator
+          sessionTimeoutMs(open, gapMs, state.getCurrentWatermarkMs()))
+        closed.iterator.map(close)
       }
     }
   }

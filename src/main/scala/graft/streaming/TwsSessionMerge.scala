@@ -48,39 +48,19 @@ class SessionMergeProcessor(gapMs: Long)
       .sortBy(r => (ClipPipeline.epochUs(r.event_time), r.event_id))
     if (sorted.isEmpty) Iterator.empty
     else {
-      // same µs fold-with-splitting as ClipPipeline.sessionMergeFn —
-      // keep the two implementations line-for-line comparable
-      var open = if (acc.exists()) acc.get() else null
-      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionMerge]
-      sorted.foreach { r =>
-        val rUs = ClipPipeline.epochUs(r.event_time)
-        if (open == null) {
-          open = SessionAcc(1, r.dur_ms, r.transcript, rUs, rUs)
-        } else if (rUs > open.lastEventUs + gapMs * 1000L) {
-          closed += close(key, open)
-          open = SessionAcc(1, r.dur_ms, r.transcript, rUs, rUs)
-        } else {
-          open = SessionAcc(
-            n = open.n + 1,
-            totalDurMs = open.totalDurMs + r.dur_ms,
-            lastTranscript =
-              if (rUs >= open.lastEventUs) r.transcript
-              else open.lastTranscript,
-            lastEventUs = math.max(open.lastEventUs, rUs),
-            firstEventUs = math.min(open.firstEventUs, rUs))
-        }
-      }
+      // the ONE shared fold (ClipPipeline.foldSessions) — the two
+      // state APIs cannot diverge on session semantics by construction
+      val (closed, open) = ClipPipeline.foldSessions(
+        if (acc.exists()) acc.get() else null, sorted, gapMs)
       acc.update(open)
-      // one live timer per key: drop the superseded one, re-arm past
-      // the current watermark (the fMGWS setTimeoutTimestamp rule;
-      // ms timer API — round the µs close time UP)
-      // materialize before deleting: deleteTimer during the live
+      // one live timer per key: drop the superseded one, re-arm via
+      // the shared timeout rule (the fMGWS setTimeoutTimestamp twin);
+      // materialize before deleting — deleteTimer during the live
       // listTimers iteration would mutate the store under its iterator
       getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
-      getHandle.registerTimer(math.max(
-        Math.floorDiv(open.lastEventUs + gapMs * 1000L + 999L, 1000L),
-        timerValues.getCurrentWatermarkInMs() + 1))
-      closed.iterator
+      getHandle.registerTimer(ClipPipeline.sessionTimeoutMs(open, gapMs,
+        timerValues.getCurrentWatermarkInMs()))
+      closed.iterator.map(a => close(key, a))
     }
   }
 

@@ -109,7 +109,12 @@ class PipelineMainSpec extends AnyFunSuite {
       }
       val (open :: closed) = sessions: @unchecked // head = latest session
       expectedClosed += closed.size
-      if (open.head + gapUs < maxUs - wmUs) expectedClosed += 1
+      // engine ms arithmetic: close timer = µs close rounded UP to ms,
+      // watermark = µs max truncated DOWN to ms minus the delay — a
+      // µs-exact comparison would flake within 1 ms of the boundary
+      val timerMs = Math.floorDiv(open.head + gapUs + 999, 1000)
+      val wmMs = Math.floorDiv(maxUs, 1000) - wmUs / 1000
+      if (timerMs < wmMs) expectedClosed += 1
       else withheldRows += open.size
     }
     val committedSessions = r.sinks("sessions").readCommitted(spark)
