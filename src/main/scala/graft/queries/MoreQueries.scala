@@ -64,6 +64,41 @@ object MoreQueries {
               |  FROM read_csv('$CsvPath', delim=';', header=true, all_varchar=true))
               |WHERE rn = 1 ORDER BY code""".stripMargin)),
 
+    // -------------- q65 schema-drift ingestion (mergeSchema evolution)
+    // The ingestion reality of a long-lived corpus: parquet drops
+    // written by different pipeline generations carry different
+    // schemas (a later generation added a `source` column). Two
+    // generations are staged from `documents` (even doc_ids as v1
+    // without the column, odd as v2 with it) and read back as ONE
+    // table with mergeSchema — v1 rows must surface with NULL source,
+    // which only happens if schema merging actually unified the
+    // footers (a plain read would bind whichever file's schema was
+    // sampled first and either drop the column or fail). The oracle
+    // re-derives the expected unified view straight from `documents`,
+    // so the staged plumbing is the thing under test.
+    QueryDef(
+      "q65_schema_drift",
+      (s, d) => {
+        val base = graft.sink.FsUtil.processScopedWorkDir("graft_schema_drift", d)
+        val docs = t(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("text"))
+          .write.mode("overwrite").parquet(s"$base/gen=v1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("text"),
+            concat(lit("crawl-"), col("doc_id") % 3).as("source"))
+          .write.mode("overwrite").parquet(s"$base/gen=v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$base/gen=v1", s"$base/gen=v2")
+          .select(col("doc_id"), col("lang"), col("source"),
+            length(col("text")).as("text_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN doc_id % 2 = 1 THEN 'crawl-' || (doc_id % 3) ELSE NULL END AS source,
+             |  length(text) AS text_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------ q43 JSON extraction (C15)
     QueryDef(
       "q43_json_extract",
