@@ -135,7 +135,22 @@ object Bench {
             """{"error":"scaling evidence failed"}"""
         }
 
-    println(
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"throughput":$tp,"stream_p99_batch_ms":$p99Ms%.0f,"scaling":$scalingJson,"cpus":$cpus,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"throughput":$tp,"stream_p99_batch_ms":$p99Ms%.0f,"scaling":$scalingJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the full line alongside stdout: the driver captures only a
+    // bounded stdout tail, and BENCH_r04.json lost every per-query timing
+    // to mid-JSON truncation (`parsed: null`). The file is the durable
+    // artifact; stdout remains the contract. Best-effort — a read-only
+    // CWD must not fail the bench.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full JSON persisted to ${out.toAbsolutePath}")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not persist JSON file: ${e.getMessage}")
+    }
   }
 }

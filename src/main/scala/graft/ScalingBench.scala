@@ -133,7 +133,20 @@ object ScalingBench {
     * which.
     */
   final case class PairMeas(tLo: Double, tHi: Double, ratio: Double,
-      extCpu: Double, valid: Boolean, reason: String)
+      extCpu: Double, valid: Boolean, reason: String,
+      sentinel: Boolean = false)
+
+  /** Ratio statistics must run over REAL measurements: a budget-exhausted
+    * sentinel (ratio 0) entering the median would drag it toward 0 and
+    * could be selected as the mid pair, fabricating sec_lo/sec_hi/raw of
+    * 0.00/1.00 in the all-invalid fail-open case. Sentinels stay in the
+    * disclosed pair list; they only fall back into the statistics when NO
+    * real pair exists at all.
+    */
+  private[graft] def statPairs(pairs: Seq[PairMeas]): Seq[PairMeas] = {
+    val real = pairs.filterNot(_.sentinel)
+    if (real.nonEmpty) real else pairs
+  }
 
   /** A pair ratio outside this band is a corrupted measurement, not a
     * property of the engine: the decode workload cannot genuinely scale
@@ -191,7 +204,8 @@ object ScalingBench {
       }
     }
     if (last == null) { // budget exhausted before the first try
-      last = PairMeas(0, 1, 0, 1, valid = false, "pair budget exhausted")
+      last = PairMeas(0, 1, 0, 1, valid = false, "pair budget exhausted",
+        sentinel = true)
     }
     (last, if (last.valid) rejected.toSeq else rejected.toSeq.dropRight(1))
   }
@@ -352,8 +366,13 @@ object ScalingBench {
       val ceil: Double = math.min(ceilRaw, 1.0)
       val ratios: Seq[Double] = pairs.map(_.ratio)
       val pairsValid: Boolean = pairs.forall(_.valid)
+      // statistics over real (non-sentinel) pairs only — a ratio-0
+      // budget sentinel must not become the median or the mid pair
+      private val stats = statPairs(pairs)
+      private val statRatios = stats.map(_.ratio)
       val dispersion: Double =
-        if (ratios.isEmpty) Double.PositiveInfinity else ratios.max / ratios.min
+        if (statRatios.isEmpty) Double.PositiveInfinity
+        else statRatios.max / statRatios.min
       val dispersionValid: Boolean = dispersion <= MaxPassDispersion
       // a pass is valid only when its ceiling probe, EVERY surviving
       // pair (plausible ratio + low external CPU), and the cross-pair
@@ -363,11 +382,11 @@ object ScalingBench {
       // never the favorable rounding) — each ratio comes from a lo/hi
       // pair measured back-to-back, so common-mode host drift cancels
       // within a pair and the median discards a single corrupted one
-      private val mid = ratios.sorted.apply((ratios.size - 1) / 2)
+      private val mid = statRatios.sorted.apply((statRatios.size - 1) / 2)
       val raw: Double = mid
       // the reported (sec_lo, sec_hi) are the median pair's own
       // components, so sec_lo/sec_hi/raw are mutually consistent
-      private val midPair = pairs.minBy(p => math.abs(p.ratio - mid))
+      private val midPair = stats.minBy(p => math.abs(p.ratio - mid))
       val (tLo, tHi): (Double, Double) = (midPair.tLo, midPair.tHi)
       // an INVALID ceiling never becomes the denominator — normalize
       // against neutral 1.0 instead (can only understate, not flatter)
@@ -464,9 +483,10 @@ object ScalingBench {
     val pairs = (1 to reps).map(_ =>
       measurePairRetry(lo, hi, sfDir, workScale, budget)._1)
     val pairsValid = pairs.forall(_.valid)
-    val ratios = pairs.map(_.ratio)
+    val stats = statPairs(pairs) // sentinels excluded from statistics
+    val ratios = stats.map(_.ratio)
     val mid = ratios.sorted.apply((ratios.size - 1) / 2) // lower-middle for even counts
-    val midPair = pairs.minBy(p => math.abs(p.ratio - mid))
+    val midPair = stats.minBy(p => math.abs(p.ratio - mid))
     val (tLo, tHi) = (midPair.tLo, midPair.tHi)
     val latLo = runStreamLatencies(lo, sfDir)
     val latHi = runStreamLatencies(hi, sfDir)

@@ -46,6 +46,23 @@ object TextQueries {
           .as("chunk_text"))
       .withColumn("chunk_md5", md5(col("chunk_text")))
 
+  /** Packed BIGINT chunk reference doc_id·10^6 + chunk_idx used by
+    * q62/q63 keeper election. The packing is only injective while
+    * chunk_idx < 10^6 (a ~48M-token document) and doc_id ≤
+    * (Long.MaxValue − 999999)/10^6 — beyond either bound the ref would
+    * silently collide or wrap and elect a WRONG keeper. The guard makes
+    * a pathological corpus fail loudly (raise_error) instead; it lives
+    * inside the ref computation itself so Catalyst cannot prune it.
+    */
+  private val MaxPackableDocId = (Long.MaxValue - 999999L) / 1000000L
+  private[queries] def packedChunkRef(doc: org.apache.spark.sql.Column,
+      idx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(idx >= 0 && idx < 1000000L && doc >= 0 && doc <= MaxPackableDocId,
+      doc.cast("long") * 1000000L + idx)
+      .otherwise(raise_error(concat(
+        lit("packed chunk ref out of range: doc_id="), doc.cast("string"),
+        lit(" chunk_idx="), idx.cast("string"))).cast("long"))
+
   /** DuckDB CTE chain (no leading WITH) twinning [[chunkStage]] over
     * `src`; final relation `<p>ch` has (doc_id, chunk_idx,
     * chunk_start, n_chunk_tokens, chunk_text, chunk_md5).
@@ -319,7 +336,7 @@ object TextQueries {
       (s, d) =>
         chunkStage(t(s, d, "documents"), 64, 48)
           .select(col("chunk_md5"),
-            (col("doc_id") * 1000000L + col("chunk_idx")).as("ref"))
+            packedChunkRef(col("doc_id"), col("chunk_idx")).as("ref"))
           .groupBy(col("chunk_md5"))
           .agg(min(col("ref")).as("kref"), count(lit(1)).as("n_copies"))
           .select(col("chunk_md5"),
@@ -344,7 +361,7 @@ object TextQueries {
       "q63_chunk_neardup",
       (s, d) => {
         val chunks = chunkStage(t(s, d, "documents"), 64, 48)
-          .select((col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+          .select(packedChunkRef(col("doc_id"), col("chunk_idx")).as("doc_id"),
             col("chunk_text").as("text"))
         graft.operators.Dedup.minhashLshPairs(chunks, "doc_id", "text",
             shingleN = 3, k = 8, bands = 4, threshold = 0.5, maxBucketSize = 64)

@@ -235,16 +235,27 @@ object FsUtil {
     Files.createDirectories(parent)
     // reap siblings owned by dead processes (any SF — the pid suffix
     // is authoritative); never touch a live process's dir
+    // Each reap is best-effort: two live JVMs may race to reap the same
+    // dead sibling, and the loser's Files.list/delete hits paths the
+    // winner already removed (NoSuchFileException). An all-digit pid
+    // suffix beyond Long range would also throw in toLong. Neither
+    // failure is ours to surface — the dir is either gone or someone
+    // else's problem next pass.
     val stream = Files.list(parent)
     try stream.iterator.asScala.foreach { p =>
-      val name = p.getFileName.toString
-      val idx = name.lastIndexOf("-pid")
-      if (idx >= 0) {
-        val owner = name.substring(idx + 4)
-        val alive = owner.forall(_.isDigit) && owner.nonEmpty &&
-          ProcessHandle.of(owner.toLong).map[java.lang.Boolean](h => h.isAlive)
-            .orElse(java.lang.Boolean.FALSE)
-        if (!alive) FsUtil.deleteRecursively(p)
+      try {
+        val name = p.getFileName.toString
+        val idx = name.lastIndexOf("-pid")
+        if (idx >= 0) {
+          val owner = name.substring(idx + 4)
+          val alive = owner.forall(_.isDigit) && owner.nonEmpty &&
+            ProcessHandle.of(owner.toLong).map[java.lang.Boolean](h => h.isAlive)
+              .orElse(java.lang.Boolean.FALSE)
+          if (!alive) FsUtil.deleteRecursively(p)
+        }
+      } catch {
+        case _: java.nio.file.NoSuchFileException | _: NumberFormatException
+            | _: java.io.UncheckedIOException => ()
       }
     } finally stream.close()
     FsUtil.deleteRecursively(mine) // own previous pass (same pid, sequential)

@@ -78,6 +78,70 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(out == Set(("a", "a2")))
   }
 
+  test("bucketed copy-on-write: untouched buckets carry forward by reference, byte-identical") {
+    val dir = Files.createTempDirectory("upsert_bucket_").toString
+    val sink = new UpsertSink(dir, Seq("k"), "v", numBuckets = 8)
+
+    // batch 0: 32 keys — spread across (almost certainly all) 8 buckets
+    sink.write((0 until 32).map(i => (s"k$i", 1, s"p$i")).toDF("k", "v", "payload"), 0)
+    val m0 = sink.latestManifest
+    assert(m0.size >= 4, s"expected keys spread over several buckets, got $m0")
+
+    import scala.jdk.CollectionConverters._
+    def dirBytesHash(d: String): Map[String, (Long, String)] = {
+      val stream = Files.list(java.nio.file.Paths.get(d))
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val bytes = Files.readAllBytes(p)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          p.getFileName.toString ->
+            (bytes.length.toLong, md.digest(bytes).map("%02x".format(_)).mkString)
+        }.toMap
+      finally stream.close()
+    }
+
+    // batch 1: a single key — exactly ONE bucket may be rewritten
+    sink.write(Seq(("k0", 2, "p0v2")).toDF("k", "v", "payload"), 1)
+    val m1 = sink.latestManifest
+    val changed = m1.filter { case (b, d) => m0.get(b).exists(_ != d) }.keys.toSet
+    assert(changed.size == 1, s"one touched bucket expected, changed: $changed")
+    assert(m1.keySet == m0.keySet, "bucket set is fixed")
+    val untouched = (m1.keySet -- changed).toSeq.sorted
+    assert(untouched.nonEmpty)
+    // untouched buckets: SAME path (never rewritten — reference carry)
+    untouched.foreach(b => assert(m1(b) == m0(b),
+      s"untouched bucket $b must carry the same data dir"))
+    // and the files at that path are byte-identical after the commit
+    val probe = m0(untouched.head)
+    val before = dirBytesHash(probe)
+    sink.write(Seq(("k0", 3, "p0v3")).toDF("k", "v", "payload"), 2)
+    val after = dirBytesHash(probe)
+    assert(before == after,
+      s"untouched bucket files must be byte-identical: $before vs $after")
+
+    // correctness unchanged: merged view = latest version per key
+    val out = sink.readLatest(spark)
+      .select("k", "v", "payload").as[(String, Int, String)].collect().toSet
+    assert(out.size == 32)
+    assert(out.contains(("k0", 3, "p0v3")))
+    assert(out.contains(("k1", 1, "p1")))
+  }
+
+  test("bucket count is pinned at first write; a reopened sink adopts the stored layout") {
+    val dir = Files.createTempDirectory("upsert_pin_").toString
+    new UpsertSink(dir, Seq("k"), "v", numBuckets = 4)
+      .write(df(("a", 1, "a1"), ("b", 1, "b1")), 0)
+    // reopened with a DIFFERENT requested bucket count: layout must not shift
+    val reopened = new UpsertSink(dir, Seq("k"), "v", numBuckets = 32)
+    reopened.write(df(("a", 2, "a2"), ("c", 1, "c1")), 1)
+    assert(reopened.latestManifest.keySet.forall(_ < 4),
+      s"pinned 4-bucket layout expected: ${reopened.latestManifest}")
+    val out = reopened.readLatest(spark)
+      .select("k", "payload").as[(String, String)].collect().toSet
+    assert(out == Set(("a", "a2"), ("b", "b1"), ("c", "c1")))
+  }
+
   test("streaming foreachBatch end-to-end: stream of updates collapses to latest per key") {
     val base = Files.createTempDirectory("upsert_stream_").toString
     // 3 files → 3 micro-batches of key updates
