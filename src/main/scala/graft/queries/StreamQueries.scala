@@ -103,6 +103,89 @@ object StreamQueries {
             |   OR (epoch_us(s.last_t) + 1800000000 + 999) // 1000 < epoch_us((SELECT mt FROM mx)) // 1000 - 43200000
             |ORDER BY clip_id, session_start""".stripMargin)
 
+  /** The 3-batch session-MERGE schedule oracle shared by s25 (fMGWS)
+    * and s26 (transformWithState) — the cross-batch generalization of
+    * the single-batch s21/s22 oracle, transcribing the Scala model
+    * validated in MultiBatchModelSpec (both state APIs, adversarial
+    * seeds) to SQL the way s19 transcribed the LEFT OUTER join model.
+    *
+    * Unrolled schedule (batches split by event_id % 3, watermark delay
+    * 12 h, gap 30 min), all pinned facts from LateBoundarySpec:
+    *  - late filter of batch N is ROW-level (fMGWS family) against the
+    *    watermark through batch N−2: engine-exact as
+    *    `tus > wm_ms * 1000` with wm_ms = floor_ms(max µs) − delay
+    *    (batches 0/1 unfiltered);
+    *  - per key WITH surviving rows in a batch the fold continues from
+    *    the carried open session: ascending in-batch rows make the
+    *    running max = max(carried_last, prev_row), so the split flag is
+    *    `t > prev + gap AND t > carried_last + gap` — split-closed
+    *    sessions (including a split-off carried session, CTEs x1/x2)
+    *    emit immediately, regardless of watermark;
+    *  - the close timer re-arms to max(ceil_ms(last + gap), wm_ms + 1)
+    *    and is NOT re-armed in batches where the key has no surviving
+    *    rows;
+    *  - a key WITHOUT surviving rows fires its timer iff
+    *    timer < wm_ms STRICTLY (batch 1 vs e1, batch 2 vs e2, final
+    *    flush vs e3), emitting the open session and clearing state;
+    *  - latest transcript wins by event time: within a merged carried
+    *    session the batch side wins iff its max event time ≥ the
+    *    carried last (fold overwrites on `t ≥ last`, and the batch row
+    *    folds later).
+    */
+  private val multiBatchSessionMergeOracleSql: Option[String] =
+    Some(s"""WITH clips AS (${ClipGen.metaSql}),
+            |b AS (SELECT clip_id, dur_ms, transcript, event_id, epoch_us(event_time) AS tus, CAST(event_id % 3 AS INT) AS k FROM clips),
+            |wm AS (SELECT
+            |    (SELECT max(tus) FROM b WHERE k = 0) // 1000 - 43200000 AS e1,
+            |    (SELECT max(tus) FROM b WHERE k <= 1) // 1000 - 43200000 AS e2,
+            |    (SELECT max(tus) FROM b) // 1000 - 43200000 AS e3),
+            |p0 AS (SELECT *, lag(tus) OVER (PARTITION BY clip_id ORDER BY tus, event_id) AS pus FROM b WHERE k = 0),
+            |g0 AS (SELECT *, SUM(CASE WHEN pus IS NULL OR tus > pus + 1800000000 THEN 1 ELSE 0 END) OVER (PARTITION BY clip_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM p0),
+            |a0 AS (SELECT clip_id, sid, CAST(COUNT(*) AS INT) AS n, CAST(SUM(CAST(dur_ms AS BIGINT)) AS BIGINT) AS dur, (array_agg(transcript ORDER BY tus, event_id))[-1] AS lastt, MIN(tus) AS fus, MAX(tus) AS lus, MAX(sid) OVER (PARTITION BY clip_id) AS msid FROM g0 GROUP BY clip_id, sid),
+            |e0 AS (SELECT clip_id, n, dur, lastt, fus, lus FROM a0 WHERE sid < msid),
+            |o0 AS (SELECT clip_id, n, dur, lastt, fus, lus, (lus + 1800000000 + 999) // 1000 AS tmr FROM a0 WHERE sid = msid),
+            |k1 AS (SELECT DISTINCT clip_id FROM b WHERE k = 1),
+            |f1 AS (SELECT clip_id, n, dur, lastt, fus, lus FROM o0 WHERE clip_id NOT IN (SELECT clip_id FROM k1) AND tmr < (SELECT e1 FROM wm)),
+            |p1 AS (SELECT *, lag(tus) OVER (PARTITION BY clip_id ORDER BY tus, event_id) AS pus FROM b WHERE k = 1),
+            |j1 AS (SELECT p1.*, c.n AS cn, c.dur AS cdur, c.lastt AS clastt, c.fus AS cfus, c.lus AS clus, CASE WHEN (p1.pus IS NULL OR p1.tus > p1.pus + 1800000000) AND (c.lus IS NULL OR p1.tus > c.lus + 1800000000) THEN 1 ELSE 0 END AS ns FROM p1 LEFT JOIN o0 c USING (clip_id)),
+            |g1 AS (SELECT *, SUM(ns) OVER (PARTITION BY clip_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM j1),
+            |a1 AS (SELECT clip_id, sid,
+            |    CAST(COUNT(*) + COALESCE(CASE WHEN sid = 0 THEN MAX(cn) END, 0) AS INT) AS n,
+            |    CAST(SUM(CAST(dur_ms AS BIGINT)) + COALESCE(CASE WHEN sid = 0 THEN MAX(cdur) END, 0) AS BIGINT) AS dur,
+            |    CASE WHEN sid = 0 AND MAX(tus) < MAX(clus) THEN MAX(clastt) ELSE (array_agg(transcript ORDER BY tus, event_id))[-1] END AS lastt,
+            |    CASE WHEN sid = 0 THEN LEAST(MIN(tus), MAX(cfus)) ELSE MIN(tus) END AS fus,
+            |    CASE WHEN sid = 0 THEN GREATEST(MAX(tus), MAX(clus)) ELSE MAX(tus) END AS lus,
+            |    MAX(sid) OVER (PARTITION BY clip_id) AS msid
+            |  FROM g1 GROUP BY clip_id, sid),
+            |e1s AS (SELECT clip_id, n, dur, lastt, fus, lus FROM a1 WHERE sid < msid),
+            |x1 AS (SELECT o.clip_id, o.n, o.dur, o.lastt, o.fus, o.lus FROM o0 o JOIN (SELECT clip_id, MIN(sid) AS mnsid FROM g1 GROUP BY clip_id) m USING (clip_id) WHERE m.mnsid = 1),
+            |o1 AS (SELECT clip_id, n, dur, lastt, fus, lus, GREATEST((lus + 1800000000 + 999) // 1000, (SELECT e1 FROM wm) + 1) AS tmr FROM a1 WHERE sid = msid),
+            |st1 AS (SELECT * FROM o1 UNION ALL SELECT * FROM o0 WHERE clip_id NOT IN (SELECT clip_id FROM k1) AND clip_id NOT IN (SELECT clip_id FROM f1)),
+            |b2 AS (SELECT * FROM b WHERE k = 2 AND tus > (SELECT e1 FROM wm) * 1000),
+            |k2 AS (SELECT DISTINCT clip_id FROM b2),
+            |f2 AS (SELECT clip_id, n, dur, lastt, fus, lus FROM st1 WHERE clip_id NOT IN (SELECT clip_id FROM k2) AND tmr < (SELECT e2 FROM wm)),
+            |p2 AS (SELECT *, lag(tus) OVER (PARTITION BY clip_id ORDER BY tus, event_id) AS pus FROM b2),
+            |j2 AS (SELECT p2.*, c.n AS cn, c.dur AS cdur, c.lastt AS clastt, c.fus AS cfus, c.lus AS clus, CASE WHEN (p2.pus IS NULL OR p2.tus > p2.pus + 1800000000) AND (c.lus IS NULL OR p2.tus > c.lus + 1800000000) THEN 1 ELSE 0 END AS ns FROM p2 LEFT JOIN st1 c USING (clip_id)),
+            |g2 AS (SELECT *, SUM(ns) OVER (PARTITION BY clip_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM j2),
+            |a2 AS (SELECT clip_id, sid,
+            |    CAST(COUNT(*) + COALESCE(CASE WHEN sid = 0 THEN MAX(cn) END, 0) AS INT) AS n,
+            |    CAST(SUM(CAST(dur_ms AS BIGINT)) + COALESCE(CASE WHEN sid = 0 THEN MAX(cdur) END, 0) AS BIGINT) AS dur,
+            |    CASE WHEN sid = 0 AND MAX(tus) < MAX(clus) THEN MAX(clastt) ELSE (array_agg(transcript ORDER BY tus, event_id))[-1] END AS lastt,
+            |    CASE WHEN sid = 0 THEN LEAST(MIN(tus), MAX(cfus)) ELSE MIN(tus) END AS fus,
+            |    CASE WHEN sid = 0 THEN GREATEST(MAX(tus), MAX(clus)) ELSE MAX(tus) END AS lus,
+            |    MAX(sid) OVER (PARTITION BY clip_id) AS msid
+            |  FROM g2 GROUP BY clip_id, sid),
+            |e2s AS (SELECT clip_id, n, dur, lastt, fus, lus FROM a2 WHERE sid < msid),
+            |x2 AS (SELECT o.clip_id, o.n, o.dur, o.lastt, o.fus, o.lus FROM st1 o JOIN (SELECT clip_id, MIN(sid) AS mnsid FROM g2 GROUP BY clip_id) m USING (clip_id) WHERE m.mnsid = 1),
+            |o2 AS (SELECT clip_id, n, dur, lastt, fus, lus, GREATEST((lus + 1800000000 + 999) // 1000, (SELECT e2 FROM wm) + 1) AS tmr FROM a2 WHERE sid = msid),
+            |st2 AS (SELECT * FROM o2 UNION ALL SELECT * FROM st1 WHERE clip_id NOT IN (SELECT clip_id FROM k2) AND clip_id NOT IN (SELECT clip_id FROM f2)),
+            |ff AS (SELECT clip_id, n, dur, lastt, fus, lus FROM st2 WHERE tmr < (SELECT e3 FROM wm)),
+            |u AS (SELECT * FROM e0 UNION ALL SELECT * FROM f1 UNION ALL SELECT * FROM e1s UNION ALL SELECT * FROM x1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM e2s UNION ALL SELECT * FROM x2 UNION ALL SELECT * FROM ff)
+            |SELECT clip_id, n AS n_records, dur AS total_dur_ms, lastt AS last_transcript,
+            |  make_timestamp(fus) AS session_start,
+            |  make_timestamp(lus + 1800000000) AS session_end
+            |FROM u ORDER BY clip_id, session_start""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     // --------------------------------- s01 streaming tumbling rollup (D4)
     QueryDef(
@@ -216,6 +299,68 @@ object StreamQueries {
         }
       },
       sessionMergeOracleSql),
+
+    // ------- s25 session MERGE across THREE micro-batches, fMGWS (D1)
+    // The cross-batch schedule s21 cannot exercise: timers firing
+    // between batches (a quiet key's open session closes mid-stream; a
+    // later row then opens a FRESH session), carried open sessions
+    // extended or split by the next batch's rows, and the batch-2
+    // row-level late filter — under the hard DuckDB oracle
+    // (multiBatchSessionMergeOracleSql), the s19 playbook applied to
+    // the last stateful family that was model-validated but not
+    // oracle-gated.
+    QueryDef(
+      "s25_session_merge_multibatch",
+      (s, d) => {
+        import s.implicits._
+        val dir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
+        val clips = metaProjection(
+          StreamRunner.parquetStream(s, dir, eventsSchema,
+            maxFilesPerTrigger = Some(1)))
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .withWatermark("event_time", "12 hours")
+          .as[ClipMeta]
+        val merged = ClipPipeline.sessionMergeStage(clips)
+        val (table, batches) =
+          StreamRunner.runToMemoryCounted(merged.toDF(), "append")
+        require(batches == 3,
+          s"s25 oracle models exactly 3 input micro-batches, got $batches")
+        table
+          .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+          .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+          .orderBy(col("clip_id"), col("session_start"))
+      },
+      multiBatchSessionMergeOracleSql),
+
+    // -- s26 session MERGE across THREE micro-batches, TWS timers (D1)
+    // The transformWithState twin of s25 (RocksDB, event-time timers
+    // re-armed per batch) — both state APIs must walk the identical
+    // cross-batch schedule under ONE oracle, completing the
+    // s11≡s18 / s21≡s22 twin discipline at multi-batch depth.
+    QueryDef(
+      "s26_session_merge_tws_multibatch",
+      (s, d) => {
+        import s.implicits._
+        val dir = StreamRunner.eventsBatchesDir(s, s"$d/events.parquet", 3)
+        graft.streaming.TwsDedup.withRocksDB(s) {
+          val clips = metaProjection(
+            StreamRunner.parquetStream(s, dir, eventsSchema,
+              maxFilesPerTrigger = Some(1)))
+            .withColumn("event_time", col("event_time").cast("timestamp"))
+            .withWatermark("event_time", "12 hours")
+            .as[ClipMeta]
+          val merged = graft.streaming.TwsSessionMerge.sessionMergeStageTws(clips)
+          val (table, batches) =
+            StreamRunner.runToMemoryCounted(merged.toDF(), "append")
+          require(batches == 3,
+            s"s26 oracle models exactly 3 input micro-batches, got $batches")
+          table
+            .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+            .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+            .orderBy(col("clip_id"), col("session_start"))
+        }
+      },
+      multiBatchSessionMergeOracleSql),
 
     // ---------------- s11 keyed dedup across THREE micro-batches (D1)
     // The incremental-arrival case the single-batch queries can't
