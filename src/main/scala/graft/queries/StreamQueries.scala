@@ -186,6 +186,27 @@ object StreamQueries {
             |  make_timestamp(lus + 1800000000) AS session_end
             |FROM u ORDER BY clip_id, session_start""".stripMargin)
 
+  /** FULL OUTER interval-join oracle shared by s24 (API-native
+    * unbucketed full outer) and s27 (the scale-safe bucketed
+    * composition) — one required answer, two physical strategies.
+    * Thinned clip side (event_id % 5 ≠ 0) so (null, update) rows are
+    * non-vacuous; both sides restricted to the provable-eviction
+    * cutoff (final watermark − join window − 1 min margin).
+    */
+  private val fullJoinOracleSql: Option[String] =
+    Some(s"""WITH clips AS (SELECT * FROM (${ClipGen.metaSql}) WHERE event_id % 5 <> 0),
+            |upd AS (${ClipGen.updatesSql}),
+            |co AS (SELECT least(
+            |    (SELECT max(ts) FROM events WHERE event_id % 5 <> 0),
+            |    (SELECT max(ts) FROM events WHERE event_id % 6 = 1) + INTERVAL 3 MINUTE) - INTERVAL 41 MINUTE AS cutoff)
+            |SELECT c.clip_id, c.event_id, c.event_time, u.clip_id AS u_clip_id, u.u_transcript, u.u_event_time
+            |FROM clips c FULL JOIN upd u ON c.clip_id = u.clip_id
+            |  AND u.u_event_time >= c.event_time
+            |  AND u.u_event_time <= c.event_time + INTERVAL 10 MINUTE
+            |WHERE (c.event_time <= (SELECT cutoff FROM co) OR c.clip_id IS NULL)
+            |  AND (u.u_event_time <= (SELECT cutoff FROM co) OR u.clip_id IS NULL)
+            |ORDER BY c.clip_id NULLS FIRST, c.event_id NULLS FIRST, u.clip_id NULLS FIRST, u.u_event_time NULLS FIRST""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     // --------------------------------- s01 streaming tumbling rollup (D4)
     QueryDef(
@@ -923,18 +944,61 @@ object StreamQueries {
             col("u_clip_id").asc_nulls_first,
             col("u_event_time").asc_nulls_first)
       },
-      Some(s"""WITH clips AS (SELECT * FROM (${ClipGen.metaSql}) WHERE event_id % 5 <> 0),
-              |upd AS (${ClipGen.updatesSql}),
-              |co AS (SELECT least(
-              |    (SELECT max(ts) FROM events WHERE event_id % 5 <> 0),
-              |    (SELECT max(ts) FROM events WHERE event_id % 6 = 1) + INTERVAL 3 MINUTE) - INTERVAL 41 MINUTE AS cutoff)
-              |SELECT c.clip_id, c.event_id, c.event_time, u.clip_id AS u_clip_id, u.u_transcript, u.u_event_time
-              |FROM clips c FULL JOIN upd u ON c.clip_id = u.clip_id
-              |  AND u.u_event_time >= c.event_time
-              |  AND u.u_event_time <= c.event_time + INTERVAL 10 MINUTE
-              |WHERE (c.event_time <= (SELECT cutoff FROM co) OR c.clip_id IS NULL)
-              |  AND (u.u_event_time <= (SELECT cutoff FROM co) OR u.clip_id IS NULL)
-              |ORDER BY c.clip_id NULLS FIRST, c.event_id NULLS FIRST, u.clip_id NULLS FIRST, u.u_event_time NULLS FIRST""".stripMargin)),
+      fullJoinOracleSql),
+
+    // -------- s27 FULL OUTER as the scale-safe BUCKETED composition
+    // The same required answer as s24, from two bucketed stateful
+    // queries instead of one unbucketed one: (1) the bucketed LEFT
+    // OUTER join (matched pairs + null-update clips) and (2) the
+    // mirrored bucketed LEFT OUTER with updates as the null-emitting
+    // side, filtered to null-clip rows — the (null, update) half.
+    // Every state key carries the interval-aligned time bucket
+    // (PlanSpec-asserted), so a hot clip_id's state probing stays
+    // linear per bucket; this is the composition s24's scaladoc
+    // directs users to at scale, proven here against s24's own oracle.
+    QueryDef(
+      "s27_stream_full_join_bucketed",
+      (s, d) => {
+        StreamRunner.assertSingleBatchInput(s"$d/events.parquet")
+        val evB = s.read.parquet(s"$d/events.parquet")
+        val m = evB.agg(
+          max(when(col("event_id") % 5 =!= 0, col("ts"))).as("m_clip"),
+          max(when(col("event_id") % 6 === 1, col("ts"))).as("m_upd")).head()
+        val mClip = m.getAs[java.time.LocalDateTime]("m_clip")
+        val mUpdRaw = m.getAs[java.time.LocalDateTime]("m_upd")
+        require(mClip != null && mUpdRaw != null,
+          "s27 needs rows on both thinned sides")
+        val mUpd = mUpdRaw.plusMinutes(3)
+        val cutoff = (if (mClip.isBefore(mUpd)) mClip else mUpd).minusMinutes(41)
+        def clips() = metaProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+          .filter(col("event_id") % 5 =!= 0)
+          .withColumn("event_time", col("event_time").cast("timestamp"))
+          .drop("sr_hz", "dur_ms", "codec", "transcript")
+        def updates() = ClipGen.updatesProjection(
+          StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
+          .withColumn("u_event_time", col("u_event_time").cast("timestamp"))
+        val outCols = Seq(col("clip_id"), col("event_id"), col("event_time"),
+          col("u_clip_id"), col("u_transcript"), col("u_event_time"))
+        val left = ClipPipeline
+          .transcriptUpdateLeftJoin(clips(), updates(), "30 minutes", "10 MINUTES")
+          .select(outCols: _*)
+        val unmatchedUpd = ClipPipeline
+          .transcriptUpdateUnmatchedUpdates(clips(), updates(), "30 minutes", "10 MINUTES")
+          .select(outCols: _*)
+        StreamRunner.runToMemory(left, "append")
+          .unionByName(StreamRunner.runToMemory(unmatchedUpd, "append"))
+          .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
+          .withColumn("u_event_time", col("u_event_time").cast("timestamp_ntz"))
+          .filter(
+            coalesce(col("event_time") <= lit(cutoff), lit(true)) &&
+            coalesce(col("u_event_time") <= lit(cutoff), lit(true)))
+          .orderBy(col("clip_id").asc_nulls_first,
+            col("event_id").asc_nulls_first,
+            col("u_clip_id").asc_nulls_first,
+            col("u_event_time").asc_nulls_first)
+      },
+      fullJoinOracleSql),
 
     // ------------------------------- s04 streaming session windows (D4)
     QueryDef(

@@ -488,8 +488,11 @@ object ClipPipeline {
     * candidate buckets, and in full outer an unmatched exploded row
     * would emit one null result PER bucket. The tradeoff is
     * deliberate: hot-key state probing is quadratic per key here, so
-    * at scale prefer the bucketed inner/left variants unless
-    * both-side null accounting is required.
+    * at scale prefer the BUCKETED COMPOSITION —
+    * [[transcriptUpdateLeftJoin]] ∪ [[transcriptUpdateUnmatchedUpdates]]
+    * (two bucketed stateful queries whose union is exactly full-outer;
+    * s27 oracles it against the same SQL as this operator) — unless a
+    * single-query API-native full outer is required.
     */
   def transcriptUpdateFullJoin(clips: DataFrame, updates: DataFrame,
       watermark: String, joinWindow: String): DataFrame = {
@@ -523,6 +526,44 @@ object ClipPipeline {
                  u_event_time >= event_time AND
                  u_event_time <= event_time + INTERVAL $joinWindow"""),
         "leftOuter")
+      .drop("__cb", "__ub")
+  }
+
+  /** The update-side half of the SCALE-SAFE full-outer composition:
+    * a mirrored bucketed LEFT OUTER join with UPDATES as the left
+    * (single-bucket, null-emitting) side and clips exploded into their
+    * two candidate buckets (a clip at t can only match updates in
+    * buckets {⌊t⌋, ⌊t⌋+1}), filtered to the rows whose clip side is
+    * null — i.e. exactly the (null, update) rows of a FULL OUTER join.
+    * Union with [[transcriptUpdateLeftJoin]] to obtain full-outer
+    * semantics from two BUCKETED stateful queries: every state key
+    * carries the interval-aligned time bucket, so a hot clip_id's
+    * state probing stays linear per time bucket instead of quadratic
+    * per key — the scale path [[transcriptUpdateFullJoin]]'s scaladoc
+    * points to (an unmatched row on an EXPLODED null-emitting side
+    * would null-emit once per bucket, which is why the API-native full
+    * outer cannot bucket; here the exploded side is the inner side of
+    * a left join, so its unmatched rows are never emitted).
+    */
+  def transcriptUpdateUnmatchedUpdates(clips: DataFrame, updates: DataFrame,
+      watermark: String, joinWindow: String): DataFrame = {
+    val windowUs = parseDurationUs(joinWindow)
+    val u = updates
+      .withColumnRenamed("clip_id", "u_clip_id")
+      .withColumn("__ub", floor(unix_micros(col("u_event_time")) / windowUs))
+      .withWatermark("u_event_time", watermark)
+    val c = clips
+      .withColumn("__cb", explode(array(
+        floor(unix_micros(col("event_time")) / windowUs),
+        floor(unix_micros(col("event_time")) / windowUs) + 1)))
+      .withWatermark("event_time", watermark)
+    u.join(
+        c,
+        expr(s"""u_clip_id = clip_id AND __ub = __cb AND
+                 u_event_time >= event_time AND
+                 u_event_time <= event_time + INTERVAL $joinWindow"""),
+        "leftOuter")
+      .filter(col("clip_id").isNull)
       .drop("__cb", "__ub")
   }
 

@@ -424,6 +424,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("unmatched-updates join: (null, update) rows emit ONCE, state keys carry the time bucket (s27 composition)") {
+    val clips = MemoryStream[ClipMeta](12, spark, None)
+    val updates = MemoryStream[(String, String, Timestamp)](13, spark, None)
+    val unmatched = ClipPipeline.transcriptUpdateUnmatchedUpdates(
+      clips.toDF().select("clip_id", "event_time", "event_id"),
+      updates.toDF().toDF("clip_id", "u_transcript", "u_event_time"),
+      "5 minutes", "10 MINUTES")
+      .select("u_clip_id", "u_transcript", "clip_id")
+    val q = unmatched.writeStream.format("memory").queryName("ujoin_t1")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // "x" has a matching clip (excluded); "orphan" matches nothing and
+      // must null-emit exactly ONCE despite the clip side's 2-bucket
+      // explode — the duplication hazard that makes the API-native full
+      // outer unbucketable sits on the exploded side, which here is the
+      // inner side of a left join
+      clips.addData(meta("x", 0, 1))
+      updates.addData(("x", "matched", ts(5)), ("orphan", "alone", ts(2)))
+      q.processAllAvailable()
+      clips.addData(meta("adv", 50, 2))
+      updates.addData(("adv2", "noise", ts(50)))
+      q.processAllAvailable()
+      clips.addData(meta("adv3", 55, 3))
+      updates.addData(("adv4", "noise2", ts(55)))
+      q.processAllAvailable()
+      val plan = q
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("StreamingSymmetricHashJoin"), plan.take(2000))
+      val joinLine = plan.linesIterator
+        .find(_.contains("StreamingSymmetricHashJoin")).get
+      assert(joinLine.contains("__ub") && joinLine.contains("__cb"),
+        s"join state keys must include the time-bucket columns:\n$joinLine")
+      val got = spark.table("ujoin_t1")
+        .select("u_clip_id", "u_transcript").as[(String, String)]
+        .collect().toSeq
+      assert(got.count(_._1 == "orphan") == 1,
+        s"orphan update must null-emit exactly once: $got")
+      assert(!got.exists(_._1 == "x"), s"matched update must not emit: $got")
+    } finally q.stop()
+  }
+
   test("session merge emits ONE merged record per key at watermark timeout (D1 merge)") {
     val input = MemoryStream[ClipMeta](8, spark, None)
     val merged = ClipPipeline.sessionMergeStage(
