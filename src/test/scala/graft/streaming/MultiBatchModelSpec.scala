@@ -389,7 +389,8 @@ class MultiBatchModelSpec extends AnyFunSuite {
     */
   private def runJoinEngine(
       clipBatches: Seq[Seq[ClipMeta]],
-      updBatches: Seq[Seq[(String, String, Timestamp)]])
+      updBatches: Seq[Seq[(String, String, Timestamp)]])(
+      build: (DataFrame, DataFrame) => DataFrame)
       : Seq[org.apache.spark.sql.Row] = {
     val clipDir = stageBatchFiles(clipBatches.map(b =>
       b.map(c => (c.clip_id, c.event_time, c.event_id))
@@ -397,18 +398,16 @@ class MultiBatchModelSpec extends AnyFunSuite {
     val updDir = stageBatchFiles(updBatches.map(
       _.toDF("clip_id", "u_transcript", "u_event_time")))
     import org.apache.spark.sql.types._
-    val clips = spark.readStream
+    def clips() = spark.readStream
       .schema(StructType(Seq(StructField("clip_id", StringType),
         StructField("event_time", TimestampType), StructField("event_id", LongType))))
       .option("maxFilesPerTrigger", 1).parquet(clipDir)
-    val updates = spark.readStream
+    def updates() = spark.readStream
       .schema(StructType(Seq(StructField("clip_id", StringType),
         StructField("u_transcript", StringType),
         StructField("u_event_time", TimestampType))))
       .option("maxFilesPerTrigger", 1).parquet(updDir)
-    val joined = ClipPipeline
-      .transcriptUpdateLeftJoin(clips, updates, "2 hours", "10 MINUTES")
-      .select(col("event_id"), col("u_transcript"))
+    val joined = build(clips(), updates())
     val name = s"mb_join_${System.nanoTime()}"
     val q = joined.writeStream.format("memory").queryName(name)
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
@@ -417,20 +416,27 @@ class MultiBatchModelSpec extends AnyFunSuite {
     spark.table(name).collect().toSeq
   }
 
-  /** LEFT OUTER join model over the two-sided watermark schedule. The
-    * global watermark is the MIN over both sides' column watermarks
-    * (default multi-watermark policy); late filters are row-level with
-    * the two-batch lag; a clip is evicted (null-emitting if unmatched)
-    * at the first batch whose eviction watermark exceeds its join
-    * window t+W, an update silently once the watermark passes its own
-    * time; a match emits iff the earlier-arriving side is still in
-    * state when the later side's batch runs (same-batch pairs always
-    * emit — eviction happens at end of batch).
+  /** FULL OUTER join model over the two-sided watermark schedule —
+    * the core the LEFT OUTER model is a projection of. The global
+    * watermark is the MIN over both sides' column watermarks (default
+    * multi-watermark policy); late filters are row-level with the
+    * two-batch lag; a clip is evicted (null-emitting if unmatched) at
+    * the first batch whose eviction watermark exceeds its join window
+    * t+W; an UPDATE is evicted once the watermark passes its own time
+    * ut (the condition `u_event_time >= event_time` bounds future
+    * clips: a match needs t ≤ ut, future clips have t > wm, so no
+    * future match once wm ≥ ut) — silently under left outer,
+    * null-emitting under full outer; a match emits iff the
+    * earlier-arriving side is still in state when the later side's
+    * batch runs (same-batch pairs always emit — eviction happens at
+    * end of batch). "Unmatched" means no EMITTED match: a pair whose
+    * earlier side was state-evicted before the later side arrived
+    * leaves BOTH sides null-emitting.
     */
-  private def modelLeftJoin(
+  private def modelFullJoin(
       clipBatches: Seq[Seq[ClipMeta]],
       updBatches: Seq[Seq[(String, String, Timestamp)]],
-      windowMs: Long): Set[(Long, Option[String])] = {
+      windowMs: Long): Set[(Option[Long], Option[String])] = {
     val nB = clipBatches.size
     def gwm(m: Int): Option[Long] = {
       // watermark computed from data through batch m: min of sides
@@ -452,8 +458,9 @@ class MultiBatchModelSpec extends AnyFunSuite {
     // first batch index (data batches 1..nB−1, flush = nB) that evicts
     def evictBatch(deadline: Long): Option[Int] =
       (1 to nB).find(k => deadline < evict(k))
-    val out = scala.collection.mutable.Set.empty[(Long, Option[String])]
+    val out = scala.collection.mutable.Set.empty[(Option[Long], Option[String])]
     val matchedClips = scala.collection.mutable.Set.empty[Long]
+    val matchedUpds = scala.collection.mutable.Set.empty[String]
     for (((c, nc), (u, nu)) <- for (x <- survC; y <- survU) yield (x, y)) {
       val t = c.event_time.getTime
       val ut = u._3.getTime
@@ -464,18 +471,31 @@ class MultiBatchModelSpec extends AnyFunSuite {
           else if (nc < nu) evictBatch(t + windowMs).forall(_ >= nu)
           else evictBatch(ut).forall(_ >= nc)
         if (emitted) {
-          out += ((c.event_id, Some(u._2)))
+          out += ((Some(c.event_id), Some(u._2)))
           matchedClips += c.event_id
+          matchedUpds += u._2
         }
       }
     }
     survC.foreach { case (c, _) =>
       val t = c.event_time.getTime
       if (!matchedClips.contains(c.event_id) && evictBatch(t + windowMs).isDefined)
-        out += ((c.event_id, None))
+        out += ((Some(c.event_id), None))
+    }
+    survU.foreach { case (u, _) =>
+      if (!matchedUpds.contains(u._2) && evictBatch(u._3.getTime).isDefined)
+        out += ((None, Some(u._2)))
     }
     out.toSet
   }
+
+  /** LEFT OUTER = the full-outer model minus the (null, update) rows. */
+  private def modelLeftJoin(
+      clipBatches: Seq[Seq[ClipMeta]],
+      updBatches: Seq[Seq[(String, String, Timestamp)]],
+      windowMs: Long): Set[(Long, Option[String])] =
+    modelFullJoin(clipBatches, updBatches, windowMs)
+      .collect { case (Some(id), v) => (id, v) }
 
   private def genJoin(seed: Int): (Seq[Seq[ClipMeta]], Seq[Seq[(String, String, Timestamp)]]) = {
     val clipBatches = gen(seed)
@@ -500,13 +520,57 @@ class MultiBatchModelSpec extends AnyFunSuite {
   test("multi-batch LEFT OUTER join model (two-sided watermark, eviction, lost-then-null) matches the engine") {
     seeds.foreach { seed =>
       val (cb, ub) = genJoin(seed)
-      val got = runJoinEngine(cb, ub)
-        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      val got = runJoinEngine(cb, ub) { (c, u) =>
+        ClipPipeline.transcriptUpdateLeftJoin(c, u, "2 hours", "10 MINUTES")
+          .select(col("event_id"), col("u_transcript"))
+      }.map(r => (r.getLong(0), Option(r.getString(1)))).toSet
       val want = modelLeftJoin(cb, ub, 10L * 60 * 1000)
       assert(got == want,
         s"seed $seed: extra=${got -- want} missing=${want -- got}")
       assert(want.exists(_._2.isEmpty) && want.exists(_._2.nonEmpty),
         s"seed $seed must exercise both null and matched rows")
+    }
+  }
+
+  private def fullRows(rows: Seq[org.apache.spark.sql.Row]): Set[(Option[Long], Option[String])] =
+    rows.map { r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)), Option(r.getString(1)))
+    }.toSet
+
+  test("multi-batch FULL OUTER join model (both-sides null emission timing) matches the engine (s24)") {
+    seeds.foreach { seed =>
+      val (cb, ub) = genJoin(seed)
+      val got = fullRows(runJoinEngine(cb, ub) { (c, u) =>
+        ClipPipeline.transcriptUpdateFullJoin(c, u, "2 hours", "10 MINUTES")
+          .select(col("event_id"), col("u_transcript"))
+      })
+      val want = modelFullJoin(cb, ub, 10L * 60 * 1000)
+      assert(got == want,
+        s"seed $seed: extra=${got -- want} missing=${want -- got}")
+      assert(want.exists(p => p._1.isEmpty) && want.exists(p => p._2.isEmpty) &&
+        want.exists(p => p._1.nonEmpty && p._2.nonEmpty),
+        s"seed $seed must exercise matched, clip-null, and update-null rows")
+    }
+  }
+
+  test("multi-batch s27 bucketed composition (left ∪ unmatched-updates) matches the FULL OUTER model") {
+    // the two halves are independent streaming queries in the real
+    // composition too — run each over its own staged copy of the same
+    // batches and union the outputs
+    seeds.foreach { seed =>
+      val (cb, ub) = genJoin(seed)
+      val left = runJoinEngine(cb, ub) { (c, u) =>
+        ClipPipeline.transcriptUpdateLeftJoin(c, u, "2 hours", "10 MINUTES")
+          .select(col("event_id"), col("u_transcript"))
+      }
+      val unmatched = runJoinEngine(cb, ub) { (c, u) =>
+        ClipPipeline.transcriptUpdateUnmatchedUpdates(c, u, "2 hours", "10 MINUTES")
+          .select(col("event_id"), col("u_transcript"))
+      }
+      val got = fullRows(left ++ unmatched)
+      val want = modelFullJoin(cb, ub, 10L * 60 * 1000)
+      assert(got == want,
+        s"seed $seed: extra=${got -- want} missing=${want -- got}")
     }
   }
 
