@@ -563,6 +563,107 @@ object Codecs {
     out
   }
 
+  /** Goertzel power over a buffered analysis window (the filterbank
+    * kernel behind [[audioFingerprint]]): same recurrence and n²
+    * normalization as [[goertzelPowerAt]], but over `w` pre-decoded
+    * samples at effective rate `srE` so the coarse→fine scan can
+    * probe many candidates without re-decoding.
+    */
+  private[audio] def goertzelPowerWin(buf: Array[Double], w: Int,
+      freqHz: Double, srE: Double): Double = {
+    val om = 2.0 * math.Pi * freqHz / srE
+    val coeff = 2.0 * math.cos(om)
+    var s1 = 0.0
+    var s2 = 0.0
+    var i = 0
+    while (i < w) {
+      val s0 = buf(i) + coeff * s1 - s2
+      s2 = s1
+      s1 = s0
+      i += 1
+    }
+    (s1 * s1 + s2 * s2 - coeff * s1 * s2) / (w.toDouble * w.toDouble)
+  }
+
+  /** Content-level audio fingerprint (dominant two-tone signature,
+    * [[Fingerprint]]): fused decode → decimated 0.125 s window →
+    * coarse→fine Goertzel filterbank argmax. Ground-truth twin:
+    * [[IndependentDecoder.dftFingerprint]] (direct DFT over the
+    * independently decoded PCM); the two are hard-asserted equal for
+    * every staged clip in `ClipGen` staging.
+    */
+  def audioFingerprint(codec: String, bytes: Array[Byte],
+      srHz: Int): Either[String, (Int, Int)] = {
+    val k = Fingerprint.decimation(srHz)
+    val maxW = Fingerprint.windowLen(srHz)
+    val buf = new Array[Double](maxW)
+    var w = 0
+    var idx = 0
+    foreachPcm(codec, bytes) { s =>
+      if (w < maxW && idx % k == 0) { buf(w) = s / 32768.0; w += 1 }
+      idx += 1
+    }.map { _ =>
+      val srE = srHz.toDouble / k
+      Fingerprint.estimate(f => goertzelPowerWin(buf, w, f, srE))
+    }
+  }
+
+  /** Everything the audio-curation queries need from one clip in ONE
+    * decode pass: [[summarize]] stats + the 500 Hz probe-tone power
+    * ([[goertzelPowerAt]]) + the content fingerprint
+    * ([[audioFingerprint]]) — accumulator arithmetic mirrored
+    * operation-for-operation from each standalone kernel (asserted
+    * bit-identical in CodecsSpec), so q67/s28 pay one decode where
+    * three chained calls would pay three.
+    */
+  final case class CurationProfile(
+      stats: PcmStats, tonePower: Double, fpF1: Int, fpF2: Int)
+
+  def curationProfile(codec: String, bytes: Array[Byte],
+      srHz: Int): Either[String, CurationProfile] = {
+    require(srHz > 0, s"srHz must be positive: $srHz")
+    // summarize accumulators
+    var sumSq = 0.0
+    var peakAbs = 0
+    var zc = 0
+    var clipped = 0
+    var prevNonNeg = true
+    var first = true
+    // goertzelPowerAt(500 Hz) recurrence
+    val om = 2.0 * math.Pi * 500.0 / srHz
+    val coeff = 2.0 * math.cos(om)
+    var s1 = 0.0
+    var s2 = 0.0
+    // fingerprint window
+    val k = Fingerprint.decimation(srHz)
+    val maxW = Fingerprint.windowLen(srHz)
+    val buf = new Array[Double](maxW)
+    var w = 0
+    var idx = 0
+    foreachPcm(codec, bytes) { s =>
+      val v = s / 32768.0
+      sumSq += v * v
+      val a = math.abs(s)
+      if (a > peakAbs) peakAbs = a
+      if (a >= 32736) clipped += 1
+      val nonNeg = s >= 0
+      if (!first && nonNeg != prevNonNeg) zc += 1
+      prevNonNeg = nonNeg
+      first = false
+      val s0 = v + coeff * s1 - s2
+      s2 = s1
+      s1 = s0
+      if (w < maxW && idx % k == 0) { buf(w) = v; w += 1 }
+      idx += 1
+    }.map { n =>
+      val tone = (s1 * s1 + s2 * s2 - coeff * s1 * s2) / (n.toDouble * n.toDouble)
+      val srE = srHz.toDouble / k
+      val (f1, f2) = Fingerprint.estimate(f => goertzelPowerWin(buf, w, f, srE))
+      CurationProfile(PcmStats(n, sumSq, peakAbs / 32768.0, zc, clipped),
+        tone, f1, f2)
+    }
+  }
+
   /** Signal-to-noise ratio in dB of `decoded` against `original`. */
   def snrDb(original: Array[Float], decoded: Array[Float]): Double = {
     require(original.length == decoded.length, "length mismatch")

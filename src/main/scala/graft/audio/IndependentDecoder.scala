@@ -144,6 +144,40 @@ object IndependentDecoder {
     * to ~1e-9 absolute (CodecsSpec bounds it), which survives the
     * round(3) the q58 oracle compares at by >5 orders of magnitude.
     */
+  /** Ground-truth content fingerprint by DIRECT DFT accumulation over
+    * the decimated analysis window — the independent-numeric-path twin
+    * of [[graft.audio.Codecs.audioFingerprint]] (which runs the
+    * Goertzel recurrence inside the engine's fused decode). Shares
+    * only the definitional control logic ([[Fingerprint]]: grids,
+    * decimation, window, scan order); the decode and the per-candidate
+    * power kernel are fully independent. `ClipGen` staging
+    * hard-asserts the two fingerprints equal for every staged clip, so
+    * any numeric near-tie that could flip an argmax between the two
+    * implementations fails loudly at staging instead of flaking the
+    * q66–q68/s28 oracles.
+    */
+  def dftFingerprint(samples: Array[Float], srHz: Int): (Int, Int) = {
+    require(samples.nonEmpty, "dftFingerprint of empty PCM")
+    val k = Fingerprint.decimation(srHz)
+    val maxW = Fingerprint.windowLen(srHz)
+    val w = math.min(maxW, (samples.length + k - 1) / k)
+    val srE = srHz.toDouble / k
+    def dftPower(freqHz: Double): Double = {
+      val om = 2.0 * math.Pi * freqHz / srE
+      var re = 0.0
+      var im = 0.0
+      var i = 0
+      while (i < w) {
+        val x = samples(i * k).toDouble
+        re += x * math.cos(om * i)
+        im -= x * math.sin(om * i)
+        i += 1
+      }
+      (re * re + im * im) / (w.toDouble * w.toDouble)
+    }
+    Fingerprint.estimate(dftPower)
+  }
+
   def tonePower(samples: Array[Float], srHz: Int, freqHz: Double): Double = {
     require(samples.nonEmpty, "tonePower of empty PCM")
     val w = 2.0 * math.Pi * freqHz / srHz

@@ -16,5 +16,6 @@ object Registry {
   def all: Seq[QueryDef] =
     BatchQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
       AnnQueries.defs ++ ClipQueries.defs ++ StreamQueries.defs ++
-      MoreQueries.defs ++ CurationQueries.defs ++ ExtraQueries.defs
+      MoreQueries.defs ++ CurationQueries.defs ++ ExtraQueries.defs ++
+      AudioCurationQueries.defs
 }

@@ -158,7 +158,7 @@ object ClipGen {
     */
   private val StagedParts = 64
 
-  private val SynthVersion = s"synth-v5-p$StagedParts" // v5: fixed staged fan-out (layout is part of the version)
+  private val SynthVersion = s"synth-v6b-p$StagedParts" // v6: audio-fingerprint ground truth in the expected table (b: full-grid scan)
 
   def sourceFingerprint(sfDir: String): String = {
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
@@ -256,18 +256,33 @@ object ClipGen {
               s"tone flag for ${c.clip_id} straddles the 0.005 threshold: $p vs $pg - latent verify flake")
             val detected: Option[Boolean] =
               if (c.dur_ms >= 500) Some(p > 0.005) else None
+            // content fingerprint ground truth (direct DFT over the
+            // independently decoded PCM) — hard-asserted against the
+            // engine's fused Goertzel filterbank path, so a numeric
+            // near-tie that could flip an argmax between the two
+            // implementations fails loudly HERE instead of flaking the
+            // q66–q68/s28 oracles (the tone-power discipline above,
+            // applied to the fingerprint)
+            val fpT = graft.audio.IndependentDecoder.dftFingerprint(dec, c.sr_hz)
+            val fpE = graft.audio.Codecs
+              .audioFingerprint(c.codec, c.bytes, c.sr_hz)
+              .fold(e => throw new IllegalStateException(
+                s"engine fingerprint failed for staged clip ${c.clip_id}: $e"), identity)
+            require(fpE == fpT,
+              s"DFT/Goertzel fingerprint disagree for ${c.clip_id} (sr=${c.sr_hz} dur=${c.dur_ms}): $fpE vs $fpT")
             Some((c.clip_id, c.event_time, st.n, st.rms, st.peak,
-              st.zeroCrossings, st.clipped, p, detected))
+              st.zeroCrossings, st.clipped, p, detected, fpT._1, fpT._2))
           }
         }
         .toDF("clip_id", "event_time", "n_samples", "rms_raw", "peak_raw",
-          "zero_crossings", "clipped", "tone_power_raw", "tone_detected")
+          "zero_crossings", "clipped", "tone_power_raw", "tone_detected",
+          "fp_f1", "fp_f2")
         .select(col("clip_id"), col("event_time"), col("n_samples"),
           round(col("rms_raw"), 4).as("rms"),
           round(col("peak_raw"), 4).as("peak"),
           col("zero_crossings"), col("clipped"),
           round(col("tone_power_raw"), 3).as("tone_power"),
-          col("tone_detected"))
+          col("tone_detected"), col("fp_f1"), col("fp_f2"))
         .repartition(StagedParts)
         .write.mode("overwrite").parquet(clipsExpectedPath(sfDir))
       java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))

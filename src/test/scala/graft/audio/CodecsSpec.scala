@@ -245,4 +245,62 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.goertzelPowerAt("pcm16le", Array[Byte](1, 2, 3), 8000, 500.0).isLeft)
     assert(Codecs.goertzelPowerAt("ulaw", Array.empty[Byte], 8000, 500.0).isLeft)
   }
+
+  // ------------------------------------------------ audio fingerprint
+
+  test("audioFingerprint: engine Goertzel equals independent direct-DFT truth on all codecs × rates × durations") {
+    for {
+      codec <- Seq("pcm16le", "ulaw", "alaw", "adpcm")
+      srHz <- Seq(8000, 16000, 44100)
+      durMs <- Seq(60, 120, 500, 1300) // below and above the 125 ms window
+      seed <- Seq(3L, 41L, 917L, 4242L)
+    } {
+      val src = ClipGen.samplesFor(seed, srHz, durMs)
+      val bytes = Codecs.encode(codec, src)
+      val eng = Codecs.audioFingerprint(codec, bytes, srHz).toOption.get
+      val truth = graft.audio.IndependentDecoder.dftFingerprint(
+        graft.audio.IndependentDecoder.decode(codec, bytes), srHz)
+      assert(eng == truth, s"$codec sr=$srHz dur=$durMs seed=$seed")
+    }
+  }
+
+  test("audioFingerprint recovers the generative tone pair and is sr/codec/phase/duration-invariant") {
+    // seed 123: f1 = 100 + (123 % 40)·10 = 130, f2 = 500 + (123 % 23)·37 = 796
+    val want = (130, 796)
+    for {
+      codec <- Seq("pcm16le", "ulaw", "alaw", "adpcm")
+      srHz <- Seq(8000, 16000, 44100)
+      durMs <- Seq(200, 1000)
+      // same tone classes, different phase: 123 and 123 + 40·23 = 1043
+      seed <- Seq(123L, 1043L)
+    } {
+      val bytes = Codecs.encode(codec, ClipGen.samplesFor(seed, srHz, durMs))
+      assert(Codecs.audioFingerprint(codec, bytes, srHz).toOption.get == want,
+        s"$codec sr=$srHz dur=$durMs seed=$seed")
+    }
+  }
+
+  test("curationProfile is bit-identical to summarize + goertzelPowerAt(500) + audioFingerprint") {
+    for {
+      codec <- Seq("pcm16le", "ulaw", "alaw", "adpcm")
+      (srHz, durMs, seed) <- Seq((8000, 90, 5L), (16000, 700, 77L), (44100, 130, 901L))
+    } {
+      val bytes = Codecs.encode(codec, ClipGen.samplesFor(seed, srHz, durMs))
+      val p = Codecs.curationProfile(codec, bytes, srHz).toOption.get
+      assert(p.stats == Codecs.summarize(codec, bytes).toOption.get, s"$codec $srHz stats")
+      assert(p.tonePower == Codecs.goertzelPowerAt(codec, bytes, srHz, 500.0).toOption.get,
+        s"$codec $srHz tone")
+      assert((p.fpF1, p.fpF2) == Codecs.audioFingerprint(codec, bytes, srHz).toOption.get,
+        s"$codec $srHz fp")
+    }
+  }
+
+  test("audioFingerprint/curationProfile reject the same malformed payloads decode does") {
+    assert(Codecs.audioFingerprint("nope", Array[Byte](1), 8000).isLeft)
+    assert(Codecs.audioFingerprint("ulaw", Array.empty[Byte], 8000).isLeft)
+    assert(Codecs.audioFingerprint("pcm16le", Array[Byte](1, 2, 3), 8000).isLeft)
+    assert(Codecs.curationProfile("nope", Array[Byte](1), 8000).isLeft)
+    assert(Codecs.curationProfile("ulaw", Array.empty[Byte], 8000).isLeft)
+    intercept[IllegalArgumentException](Codecs.audioFingerprint("ulaw", Array[Byte](1), 0))
+  }
 }
