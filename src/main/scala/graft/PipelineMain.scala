@@ -18,6 +18,10 @@ import graft.streaming.{ClipMeta, ClipPipeline, GraftQueryListener, Metrics}
   *   tumbling rollup (watermarked) → rollup sink  (A3/D4)
   *   session-window merge → sessions sink         (D1b; TWS on --rocksdb)
   *   [optional] transcript-update join → sink     (J3)
+  *   [optional] keyed MERGE upsert → snapshots    (S3; latest event
+  *                                                 time wins per clip,
+  *                                                 bucketed
+  *                                                 copy-on-write)
   *
   * Every sink is the exactly-once batchId-committed MERGE protocol
   * with per-partition lineage (D2/D7); restart with the same
@@ -37,9 +41,9 @@ import graft.streaming.{ClipMeta, ClipPipeline, GraftQueryListener, Metrics}
   *   --interval <dur>    Trigger.ProcessingTime instead of --once
   *   --rocksdb           use the RocksDB state store provider
   *   --pipelines <csv>   enable only the named pipelines out of
-  *                       mapped,dedup,rollup,sessions,join (default:
-  *                       the first four, plus join when --updates is
-  *                       given);
+  *                       mapped,dedup,rollup,sessions,join,upsert
+  *                       (default: the first four, plus join when
+  *                       --updates is given);
   *                       an empty or invalid selection REFUSES to boot
   *                       (exit 2) — the reference's zero-mapper guard
   *                       (LabToFhirProcessor.java:26-29)
@@ -56,7 +60,8 @@ object PipelineMain {
 
   private val BooleanFlags = Set("once", "rocksdb")
 
-  private[graft] val AllPipelines = Seq("mapped", "dedup", "rollup", "sessions", "join")
+  private[graft] val AllPipelines =
+    Seq("mapped", "dedup", "rollup", "sessions", "join", "upsert")
 
   /** Enabled-pipeline selection with the reference's boot guards:
     * unknown names and an empty selection are refused outright.
@@ -106,6 +111,7 @@ object PipelineMain {
     */
   final case class PipelineRun(
       sinks: Map[String, ExactlyOnceSink],
+      upserts: Map[String, graft.sink.UpsertSink],
       listener: GraftQueryListener)
 
   def main(args: Array[String]): Unit = {
@@ -139,20 +145,31 @@ object PipelineMain {
 
     // metrics summary (D8) — rows processed per query + late drops
     val summary = Seq("graft_mapped", "graft_dedup", "graft_rollup",
-      "graft_sessions", "graft_join")
+      "graft_sessions", "graft_join", "graft_upsert")
       .map(n => s""""$n":{"rows":${r.listener.totalInputRows(n)},"batches":${r.listener.batches(n)},"late_dropped":${r.listener.droppedByWatermark(n)}}""")
       .mkString("{", ",", "}")
     // lineage reconciliation (D7): every committed batch's partition
     // counts must sum to its observed total, and the totals must equal
     // what a reader of the committed data sees — surfaced in the run
     // summary so an unreconciled run is visible, not silent
-    val reconcile = r.sinks.map { case (name, sink) =>
+    val reconcile = (r.sinks.map { case (name, sink) =>
       val lin = sink.lineage
       val partsOk = lin.forall(b => b.partitionRows.sum == b.rows)
       val total = lin.map(_.rows).sum
       val committed = sink.readCommitted(spark).count()
       s""""$name":{"lineage_rows":$total,"committed_rows":$committed,"partitions_consistent":$partsOk,"reconciled":${partsOk && total == committed}}"""
-    }.mkString("{", ",", "}")
+    } ++ r.upserts.map { case (name, sink) =>
+      // upsert conservation: the merged snapshot holds exactly one row
+      // per key (the version-guarded winner), so merged rows must
+      // equal distinct keys — and the input rows the listener observed
+      // must be ≥ merged rows (merge only ever collapses)
+      val merged = sink.readLatest(spark)
+      val rows = merged.count()
+      val keys =
+        if (rows == 0) 0L else merged.select(col("clip_id")).distinct().count()
+      val observed = r.listener.totalInputRows("graft_upsert")
+      s""""$name":{"merged_rows":$rows,"distinct_keys":$keys,"input_rows":$observed,"reconciled":${rows == keys && observed >= rows}}"""
+    }).mkString("{", ",", "}")
     println(s"""{"pipeline":"done","queries":$summary,"lineage":$reconcile}""")
     spark.stop()
   }
@@ -189,6 +206,7 @@ object PipelineMain {
       spark.readStream.schema(clipSchema).parquet(input)
 
     var sinks = Map.empty[String, ExactlyOnceSink]
+    var upserts = Map.empty[String, graft.sink.UpsertSink]
 
     // ---- query 1: decode map → mapped-record sink (the reference's
     //      core topology, M1/M4 + F1/F4; --strict-max-failures swaps in
@@ -302,7 +320,30 @@ object PipelineMain {
         .start()
     }
 
-    (q1.toSeq ++ q2.toSeq ++ q3.toSeq ++ q5.toSeq ++ q4.toSeq)
+    // ---- query 6: keyed MERGE upsert into a bucketed snapshot chain
+    //      (S3's Iceberg-MERGE shape) — the CURRENT-STATE view of the
+    //      clip table: latest event time wins per clip_id, stale
+    //      replays never regress a key, untouched buckets carry
+    //      forward by reference
+    val q6 = if (!enabled.contains("upsert")) None else Some {
+      val upSink = new graft.sink.UpsertSink(s"$output/upsert",
+        Seq("clip_id"), "ver")
+      upserts += ("upsert" -> upSink)
+      val keyed = clipStream()
+        .select(col("clip_id"), col("sr_hz"), col("dur_ms"), col("codec"),
+          col("transcript"),
+          col("event_time").cast("timestamp").as("event_time"))
+        .withColumn("ver", unix_micros(col("event_time")))
+      Metrics.observed(keyed, "upsert_in")
+        .writeStream
+        .queryName("graft_upsert")
+        .foreachBatch((df: DataFrame, id: Long) => upSink.write(df, id))
+        .option("checkpointLocation", s"$ckpt/upsert")
+        .trigger(trigger)
+        .start()
+    }
+
+    (q1.toSeq ++ q2.toSeq ++ q3.toSeq ++ q5.toSeq ++ q4.toSeq ++ q6.toSeq)
       .foreach(_.awaitTermination())
     // progress events arrive on the async listener bus — drain it
     // before detaching, or the summary can miss the final micro-batch
@@ -311,6 +352,6 @@ object PipelineMain {
       System.err.println(
         "[pipeline] WARN listener bus not drained in 30s; metrics summary may undercount")
     spark.streams.removeListener(listener)
-    PipelineRun(sinks, listener)
+    PipelineRun(sinks, upserts, listener)
   }
 }

@@ -54,8 +54,9 @@ class PipelineMainSpec extends AnyFunSuite {
 
     val r = PipelineMain.run(spark,
       Map("input" -> input, "output" -> out, "checkpoint" -> s"$out/_ckpt"),
-      Seq("mapped", "dedup", "rollup", "sessions"))
+      Seq("mapped", "dedup", "rollup", "sessions", "upsert"))
     assert(r.sinks.keySet == Set("mapped", "dedup", "rollup", "sessions"))
+    assert(r.upserts.keySet == Set("upsert"))
 
     // lineage conservation per sink: each committed batch's partition
     // counts sum to its observed total, and the totals equal what a
@@ -124,6 +125,29 @@ class PipelineMainSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("n_records")).head().getLong(0)
     assert(committedRecords + withheldRows == inputRows,
       s"session row conservation: $committedRecords committed + $withheldRows withheld != $inputRows input")
+
+    // upsert: the merged snapshot is exactly the latest-event-time row
+    // per clip_id of the input (version-guarded MERGE conservation:
+    // one row per distinct key, each the argmax of its key)
+    val merged = r.upserts("upsert").readLatest(spark)
+      .select("clip_id", "transcript", "ver")
+    val expectedKeys = spark.read.parquet(input)
+      .select("clip_id").distinct().count()
+    assert(merged.count() == expectedKeys,
+      s"upsert: merged ${merged.count()} rows != $expectedKeys distinct input keys")
+    val expectedWinners = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, row_number, unix_micros}
+      spark.read.parquet(input)
+        .withColumn("ver", unix_micros(col("event_time").cast("timestamp")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("clip_id").orderBy(col("ver").desc)))
+        .filter(col("rn") === 1)
+        .select("clip_id", "transcript", "ver")
+    }
+    assert(merged.exceptAll(expectedWinners).isEmpty &&
+      expectedWinners.exceptAll(merged).isEmpty,
+      "upsert: merged snapshot differs from per-key latest-version winners")
   }
 
   test("parseArgs: value flags, boolean flags, malformed input") {
