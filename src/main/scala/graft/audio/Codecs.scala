@@ -566,7 +566,7 @@ object Codecs {
   /** Goertzel power over a buffered analysis window (the filterbank
     * kernel behind [[audioFingerprint]]): same recurrence and n²
     * normalization as [[goertzelPowerAt]], but over `w` pre-decoded
-    * samples at effective rate `srE` so the coarse→fine scan can
+    * samples at effective rate `srE` so the full-grid scan can
     * probe many candidates without re-decoding.
     */
   private[audio] def goertzelPowerWin(buf: Array[Double], w: Int,
@@ -587,7 +587,7 @@ object Codecs {
 
   /** Content-level audio fingerprint (dominant two-tone signature,
     * [[Fingerprint]]): fused decode → decimated 0.125 s window →
-    * coarse→fine Goertzel filterbank argmax. Ground-truth twin:
+    * full-grid Goertzel filterbank argmax. Ground-truth twin:
     * [[IndependentDecoder.dftFingerprint]] (direct DFT over the
     * independently decoded PCM); the two are hard-asserted equal for
     * every staged clip in `ClipGen` staging.

@@ -17,6 +17,14 @@ object Schemas {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The driver documents table (testdata sfN/documents.parquet). */
+  val documents: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   /** The engine input table per BASELINE.json `input_hint`. */
   val clips: StructType = StructType(Seq(
     StructField("clip_id", StringType),

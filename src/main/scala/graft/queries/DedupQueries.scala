@@ -35,8 +35,18 @@ object DedupQueries {
     * (id_a, id_b, est_jaccard ≥ threshold). Shared by q31, q61 and
     * q48 so the pair derivation exists exactly once in oracle SQL.
     */
-  private[queries] def minhashPairsCtes(p: String, src: String,
-      threshold: Double): String = {
+  /** Fraction of equal minhash positions between relations `a`/`b`
+    * (estimated Jaccard) — one SQL spelling shared by every consumer.
+    */
+  private def estJaccardSql: String =
+    "CAST(len(list_filter(range(1, 9), i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS DOUBLE) / 8"
+
+  /** CTE chain up to the exploded band rows: final relation `<p>ex`
+    * has (doc_id, sig, band_key) — the shared front of the batch pair
+    * derivation (global bucket cap) and the streaming online form
+    * (first-N admission cap, s29).
+    */
+  private[queries] def minhashExCtes(p: String, src: String): String = {
     val bandKeys = (0 until 4).map { b =>
       s"md5('$b' || ',' || sig[${2 * b + 1}] || ',' || sig[${2 * b + 2}])"
     }.mkString("[", ", ", "]")
@@ -44,16 +54,20 @@ object DedupQueries {
        |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM $src),
        |${p}sh AS (SELECT doc_id, $shinglesSql AS sh FROM ${p}tk),
        |${p}sg AS (SELECT doc_id, ${sigSql("sh")} AS sig FROM ${p}sh),
-       |${p}ex AS (SELECT doc_id, sig, unnest($bandKeys) AS band_key FROM ${p}sg),
+       |${p}ex AS (SELECT doc_id, sig, unnest($bandKeys) AS band_key FROM ${p}sg)""".stripMargin
+  }
+
+  private[queries] def minhashPairsCtes(p: String, src: String,
+      threshold: Double): String =
+    s"""${minhashExCtes(p, src)},
        |${p}bd AS (SELECT *, COUNT(*) OVER (PARTITION BY band_key) AS bucket_n FROM ${p}ex),
        |${p}ok AS (SELECT * FROM ${p}bd WHERE bucket_n <= 64),
        |${p}pairs AS (
        |  SELECT id_a, id_b, est_jaccard FROM (
        |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |      CAST(len(list_filter(range(1, 9), i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS DOUBLE) / 8 AS est_jaccard
+       |      $estJaccardSql AS est_jaccard
        |    FROM ${p}ok a JOIN ${p}ok b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
        |  WHERE est_jaccard >= $threshold)""".stripMargin
-  }
 
   /** CTE chain deriving simhash near-dup pairs over `src`; final
     * relation `<p>pairs` has (id_a, id_b, hamming ≤ maxHamming).
@@ -225,5 +239,50 @@ object DedupQueries {
           |SELECT cc_cl.id AS doc_id, cc_cl.cluster_id, sz.cluster_size,
           |  cc_cl.id = cc_cl.cluster_id AS is_canonical
           |FROM cc_cl JOIN sz USING (cluster_id)
-          |ORDER BY doc_id""".stripMargin)))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ------------- s29 streaming incremental near-dup dedup (D1×LSH)
+    // The ingestion-time form of q31: documents arrive as a stream and
+    // are flagged near-dup ONLINE against the already-admitted corpus,
+    // per LSH band bucket, in transformWithState ListState (RocksDB).
+    // Single-data-batch rows process in doc_id order, so the oracle is
+    // the pair derivation restricted to "a earlier than b in the
+    // bucket, a among the bucket's first-64 admitted ids" — the online
+    // skew cap, vs the batch q31's whole-bucket drop. The cross-batch
+    // schedule (state admission across micro-batches) is pinned by
+    // StreamNearDup.foldBucket, shared verbatim with the multi-batch
+    // model test.
+    QueryDef(
+      "s29_stream_neardup",
+      (s, d) => {
+        graft.streaming.StreamRunner
+          .assertSingleBatchInput(s"$d/documents.parquet")
+        graft.streaming.TwsDedup.withRocksDB(s) {
+          val stream = graft.streaming.StreamRunner.parquetStream(
+            s, s"$d/documents.parquet", graft.model.Schemas.documents)
+          val flags = graft.streaming.StreamNearDup.stage(
+            graft.streaming.StreamNearDup.bandedDocs(stream))
+          graft.streaming.StreamRunner.runToMemory(flags.toDF(), "append")
+            .groupBy(col("doc_id"))
+            .agg(sum(col("hit").cast("int")).as("n_hit_bands"))
+            .select(col("doc_id"), col("n_hit_bands"),
+              (col("n_hit_bands") > 0).as("is_near_dup"))
+            .orderBy(col("doc_id"))
+        }
+      },
+      Some(s"""WITH ${minhashExCtes("nd_", "documents")},
+              |nd_vs AS (SELECT * FROM nd_ex WHERE sig[1] IS NOT NULL),
+              |nd_rk AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
+              |  FROM nd_vs),
+              |nd_hit AS (
+              |  SELECT b.doc_id, b.band_key,
+              |    MAX(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS hit
+              |  FROM nd_rk b LEFT JOIN nd_rk a
+              |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id AND a.rn <= 64
+              |    AND $estJaccardSql >= 0.25
+              |  GROUP BY 1, 2)
+              |SELECT doc_id, CAST(SUM(hit) AS BIGINT) AS n_hit_bands,
+              |  SUM(hit) > 0 AS is_near_dup
+              |FROM nd_hit GROUP BY 1 ORDER BY doc_id""".stripMargin)))
 }

@@ -586,4 +586,97 @@ class MultiBatchModelSpec extends AnyFunSuite {
       assert(got == modelDedup(batches), s"seed $seed")
     }
   }
+
+  // --------------------------------- s29 streaming near-dup (cross-batch)
+
+  /** Deterministic document corpus for the near-dup schedule: ~10
+    * groups of mutually-similar texts (a base sentence per group,
+    * per-doc 0–2 word perturbations), assigned to 3 batches by a
+    * seeded hash so later batches hold SMALLER doc_ids than earlier
+    * ones — the scenario the single-batch s29 oracle cannot produce
+    * (there, arrival order IS doc_id order; here batch order must
+    * win).
+    */
+  private def genDocs(seed: Int): Seq[Seq[(Long, String)]] = {
+    def h(i: Int): Long = {
+      var x = (seed * 2654435761L) ^ (i * 40503L)
+      x ^= x >>> 16; x *= 0x45d9f3b; x ^= x >>> 16
+      x & 0x7fffffffL
+    }
+    val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    val docs = (0 until 42).map { i =>
+      val g = i % 10
+      val base = (0 until 12).map(p => vocab((g * 7 + p * 3) % vocab.size))
+      // 0–2 seeded word swaps: same-group docs stay near-dups (high
+      // signature overlap) without being byte-identical
+      val nSwap = (h(i * 3 + 1) % 3).toInt
+      val txt = (0 until nSwap).foldLeft(base) { (t, s) =>
+        val pos = (h(i * 5 + s) % t.size).toInt
+        t.updated(pos, vocab((h(i * 7 + s) % vocab.size).toInt))
+      }
+      (i.toLong, txt.mkString(" "))
+    }
+    // batch assignment from the TOP bits so it is independent of the
+    // per-doc text perturbation; every seed leaves each batch non-empty
+    val by = docs.groupBy { case (id, _) => (h(1000 + id.toInt) % 3).toInt }
+    (0 until 3).map(b => by.getOrElse(b, Seq.empty))
+  }
+
+  /** The cross-batch model: per batch, the engine's own banding
+    * (batch-mode [[StreamNearDup.bandedDocs]] — identical columnar
+    * derivation) grouped per bucket, folded through the SHARED
+    * [[StreamNearDup.foldBucket]] with state carried across batches.
+    * What this validates beyond the fold itself: state accumulation
+    * order (batch order beats doc_id order), admission-cap persistence
+    * across batches, and the engine's groupByKey partitioning
+    * delivering every row of a bucket to its state.
+    */
+  private def modelNearDup(batches: Seq[Seq[(Long, String)]],
+      threshold: Double, maxBucket: Int): Set[(Long, String, Boolean)] = {
+    val state = scala.collection.mutable.Map
+      .empty[String, IndexedSeq[SeenSig]]
+    val out = Set.newBuilder[(Long, String, Boolean)]
+    batches.foreach { batch =>
+      val df = batch.toDF("doc_id", "text")
+      val rows = StreamNearDup.bandedDocs(df).collect().toSeq
+      rows.groupBy(_.band_key).foreach { case (bk, rs) =>
+        val (flags, admitted) = StreamNearDup.foldBucket(
+          state.getOrElse(bk, IndexedSeq.empty), rs, threshold, maxBucket)
+        state(bk) = state.getOrElse(bk, IndexedSeq.empty) ++ admitted
+        flags.foreach(f => out += ((f.doc_id, f.band_key, f.hit)))
+      }
+    }
+    out.result()
+  }
+
+  test("streaming near-dup cross-batch schedule matches the model on adversarial seeds (s29)") {
+    // maxBucket 4 forces admission-cap overflow WITHIN batch 1 and
+    // ACROSS batches — a later duplicate of a non-admitted doc must
+    // not hit unless it also matches an admitted one
+    val (threshold, maxBucket) = (0.25, 4)
+    seeds.foreach { seed =>
+      val batches = genDocs(seed)
+      assert(batches.forall(_.nonEmpty), s"seed $seed: empty batch")
+      val dir = stageBatchFiles(batches.map(_.toDF("doc_id", "text")))
+      val got = graft.streaming.TwsDedup.withRocksDB(spark) {
+        val stream = spark.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(dir)
+        val flags = StreamNearDup.stage(
+          StreamNearDup.bandedDocs(stream), threshold, maxBucket)
+        val name = s"mb_neardup_$seed"
+        val q = flags.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.table(name).collect().toSeq
+      }.map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      val want = modelNearDup(batches, threshold, maxBucket)
+      assert(got == want, s"seed $seed")
+      assert(want.exists(_._3), s"seed $seed: no near-dup hit exercised")
+      graft.sink.FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
 }
