@@ -284,5 +284,59 @@ object DedupQueries {
               |  GROUP BY 1, 2)
               |SELECT doc_id, CAST(SUM(hit) AS BIGINT) AS n_hit_bands,
               |  SUM(hit) > 0 AS is_near_dup
+              |FROM nd_hit GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- s30 multi-batch streaming near-dup under the hard oracle
+    // s29's cross-batch schedule — state admission carried across
+    // micro-batches, the admission cap spanning batches — under the
+    // DuckDB oracle, not just the Scala model: documents arrive as 3
+    // micro-batches split by doc_id % 3 (the s11 incremental-arrival
+    // fixture generalized to the documents table), so the engine's
+    // processing order per bucket is (batch, doc_id) lexicographic and
+    // the oracle's admission rank is ROW_NUMBER over exactly that
+    // order. A document in batch 1 is probed against batch-0
+    // admissions with LARGER doc_ids — the regime the single-batch s29
+    // oracle structurally cannot produce (there, arrival order IS
+    // doc_id order). foldBucket admits until the cap regardless of hit
+    // status, so "admitted" = global rank ≤ 64 in processing order on
+    // both sides.
+    QueryDef(
+      "s30_stream_neardup_multibatch",
+      (s, d) => {
+        graft.streaming.TwsDedup.withRocksDB(s) {
+          val dir = graft.streaming.StreamRunner.batchesDir(
+            s, s"$d/documents.parquet", "doc_id", 3)
+          val stream = graft.streaming.StreamRunner.parquetStream(
+            s, dir, graft.model.Schemas.documents,
+            maxFilesPerTrigger = Some(1))
+          val flags = graft.streaming.StreamNearDup.stage(
+            graft.streaming.StreamNearDup.bandedDocs(stream))
+          val (table, batches) = graft.streaming.StreamRunner
+            .runToMemoryCounted(flags.toDF(), "append")
+          require(batches == 3,
+            s"s30 oracle models exactly 3 input micro-batches, got $batches")
+          table
+            .groupBy(col("doc_id"))
+            .agg(sum(col("hit").cast("int")).as("n_hit_bands"))
+            .select(col("doc_id"), col("n_hit_bands"),
+              (col("n_hit_bands") > 0).as("is_near_dup"))
+            .orderBy(col("doc_id"))
+        }
+      },
+      Some(s"""WITH ${minhashExCtes("nd_", "documents")},
+              |nd_vs AS (SELECT * FROM nd_ex WHERE sig[1] IS NOT NULL),
+              |nd_rk AS (
+              |  SELECT *, ROW_NUMBER() OVER (
+              |    PARTITION BY band_key ORDER BY doc_id % 3, doc_id) AS rn
+              |  FROM nd_vs),
+              |nd_hit AS (
+              |  SELECT b.doc_id, b.band_key,
+              |    MAX(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS hit
+              |  FROM nd_rk b LEFT JOIN nd_rk a
+              |    ON a.band_key = b.band_key AND a.rn < b.rn AND a.rn <= 64
+              |    AND $estJaccardSql >= 0.25
+              |  GROUP BY 1, 2)
+              |SELECT doc_id, CAST(SUM(hit) AS BIGINT) AS n_hit_bands,
+              |  SUM(hit) > 0 AS is_near_dup
               |FROM nd_hit GROUP BY 1 ORDER BY doc_id""".stripMargin)))
 }

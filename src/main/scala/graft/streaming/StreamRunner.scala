@@ -104,18 +104,29 @@ object StreamRunner {
     * matches whose two sides arrive in DIFFERENT micro-batches.
     */
   def eventsBatchesDir(spark: SparkSession, path: String, n: Int,
-      mod: Int = 0, div: Int = 1): String = {
+      mod: Int = 0, div: Int = 1): String =
+    batchesDir(spark, path, "event_id", n, mod, div)
+
+  /** [[eventsBatchesDir]] generalized to any integral id column —
+    * s30 stages `documents.parquet` by `doc_id % n` the same way.
+    * The staged dir is keyed by (source stem, id column, split), so
+    * different tables at the same SF never thrash each other's cache.
+    */
+  def batchesDir(spark: SparkSession, path: String, idCol: String,
+      n: Int, mod: Int = 0, div: Int = 1): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(n >= 2, s"need at least 2 batches, got $n")
     val m = if (mod == 0) n else mod
     require(m / div == n && m % div == 0,
       s"split (mod=$m, div=$div) must produce exactly $n classes")
     val src = Paths.get(path)
+    val stem = src.getFileName.toString.stripSuffix(".parquet")
     val dir = Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_${n}batch_${m}_$div",
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_${stem}_${idCol}_${n}batch_${m}_$div",
       src.getParent.getFileName.toString)
     val marker = dir.resolve("_fingerprint")
-    val fp = sourceFingerprint(src) + s"|${n}batch-$m-$div-v1"
+    val fp = sourceFingerprint(src) + s"|$idCol|${n}batch-$m-$div-v1"
     graft.sink.FsUtil.withStagingLock(Paths.get(dir.toString + ".lock")) {
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == fp
@@ -130,7 +141,7 @@ object StreamRunner {
         val name = s"b$i.parquet"
         val stage = dir.resolve(name + ".stage")
         source
-          .filter((org.apache.spark.sql.functions.col("event_id") % m)
+          .filter((org.apache.spark.sql.functions.col(idCol) % m)
             .divide(div).cast("int") === i)
           .coalesce(1).write.mode("overwrite").parquet(stage.toString)
         val stream = Files.list(stage)
