@@ -721,4 +721,51 @@ class StreamingSpec extends AnyFunSuite {
         s"expected one merged session [10:00,11:10) n=3, got $rows")
     }
   }
+
+  test("streaming near-dup ListState + admission cap survive checkpoint restart (D7, RocksDB, s29)") {
+    graft.streaming.TwsDedup.withRocksDB(spark) {
+      val base = java.nio.file.Files.createTempDirectory("neardup_restart_").toString
+      val inDir = s"$base/in"
+      val ckpt = s"$base/ckpt"
+      def writeDocs(rows: Seq[(Long, String)]): Unit =
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("append").parquet(inDir)
+      val sink = new graft.sink.ExactlyOnceSink(s"$base/out",
+        Seq("doc_id", "band_key"))
+      def startQuery() = {
+        val docs = spark.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir)
+        // maxBucket 1: doc 1 fills every shared bucket, so a post-
+        // restart flag on doc 3 can ONLY come from doc 1's restored
+        // entry, and doc 2 was never admitted
+        graft.streaming.StreamNearDup.stage(
+          graft.streaming.StreamNearDup.bandedDocs(docs),
+          maxBucket = 1).toDF()
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => sink.write(df, id))
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
+      val text = "alpha bravo charlie delta echo foxtrot golf hotel"
+      writeDocs(Seq((1L, text), (2L, text)))
+      val q1 = startQuery()
+      try q1.processAllAvailable()
+      finally q1.stop()
+      // phase 2 after restart: doc 3 duplicates doc 1 → every band
+      // hits off the RESTORED ListState; doc 4 is fresh → no hits
+      writeDocs(Seq((3L, text),
+        (4L, "india juliet kilo lima mike november oscar papa")))
+      val q2 = startQuery()
+      try q2.processAllAvailable()
+      finally q2.stop()
+      val hits = sink.readCommitted(spark)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("hit").cast("int")).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(hits == Map(1L -> 0L, 2L -> 4L, 3L -> 4L, 4L -> 0L),
+        s"restored-state hit profile mismatch: $hits")
+    }
+  }
 }
