@@ -25,6 +25,12 @@ object Schemas {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** The driver embeddings table (testdata sfN/embeddings.parquet). */
+  val embeddings: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
   /** The engine input table per BASELINE.json `input_hint`. */
   val clips: StructType = StructType(Seq(
     StructField("clip_id", StringType),

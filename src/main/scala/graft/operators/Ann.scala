@@ -198,6 +198,36 @@ object Ann {
       .select(col(idCol), col("bk.band").as("band"), col("bk.band_val").as("band_val"))
   }
 
+  /** Banded hyperplane-LSH rows carrying the (double-cast) vector —
+    * the streaming embedding near-dup input (s31): the same band keys
+    * as [[lshBandKeys]] flattened to one string key, plus what the
+    * online prober needs (the widened vector; each float widens to
+    * double exactly, so a JVM left-to-right dot product is
+    * bit-identical to [[dotD]] and to the oracle's list arithmetic).
+    * Zero-norm vectors are dropped on BOTH sides — 0/0 cosine is NaN
+    * and NaN orders above every threshold (the q47 guard).
+    */
+  def bandedVectors(emb: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, bands: Int, dim: Int = 64): DataFrame = {
+    require(nBits % bands == 0, s"nBits=$nBits must divide into bands=$bands")
+    val bitsPerBand = nBits / bands
+    val planes = planeDots(vecCol, nBits, dim)
+    val bandKeys = (0 until bands).map { j =>
+      val v = (j * bitsPerBand until (j + 1) * bitsPerBand)
+        .map(b => when(planes(b) > 0, lit(1L << (b % bitsPerBand))).otherwise(lit(0L)))
+        .reduce(_ + _)
+      concat_ws(":", lit(j), v)
+    }
+    emb
+      // the norm guard references only the raw column, so its pushdown
+      // past this project re-expands an O(dim) sum, not the O(nBits ×
+      // dim) plane dots (cf. the s29 sig-filter lesson)
+      .filter(normD(col(vecCol)) > 0)
+      .select(col(idCol),
+        transform(col(vecCol), v => v.cast("double")).as("vec"),
+        explode(array(bandKeys: _*)).as("band_key"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, banded-LSH blocked: pairs
     * sharing ≥1 band key get an exact cosine; `threshold` keeps the
     * near-duplicates. Scale shape: the band join carries only (band,

@@ -25,7 +25,12 @@ object CurationQueries {
     * final relation `<p>pairs` has (id_a, id_b, cosine ≥ threshold).
     * Shared by q47 and q64.
     */
-  private def embedPairsCtes(p: String, threshold: Double): String = {
+  /** CTE `<p>keys` (vec_id, band, band_val): the hyperplane band keys
+    * of every embedding — the oracle twin of [[Ann.lshBandKeys]] /
+    * [[Ann.bandedVectors]]. Shared front of the batch pair derivation
+    * (q47/q64) and the streaming online form (s31).
+    */
+  private def embedKeysCte(p: String): String = {
     val planeDot = (bit: String) =>
       s"""list_sum(list_transform(range(0, 64), dd ->
          |      CAST(embedding[CAST(dd + 1 AS INT)] AS DOUBLE) *
@@ -39,7 +44,11 @@ object CurationQueries {
     val keyUnion = (0 until 4).map { j =>
       s"SELECT vec_id, $j AS band, CAST(${bandVal(j)} AS BIGINT) AS band_val FROM embeddings"
     }.mkString(" UNION ALL ")
-    s"""${p}keys AS ($keyUnion),
+    s"${p}keys AS ($keyUnion)"
+  }
+
+  private def embedPairsCtes(p: String, threshold: Double): String = {
+    s"""${embedKeysCte(p)},
        |${p}cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM ${p}keys a JOIN ${p}keys b ON a.band = b.band AND a.band_val = b.band_val
@@ -164,5 +173,100 @@ object CurationQueries {
             |FROM kk
             |WHERE kk.doc_id NOT IN (SELECT id FROM cc_cl WHERE id <> cluster_id)
             |ORDER BY kk.doc_id""".stripMargin
-      }))
+      }),
+
+    // --------- s31 streaming embedding near-dup (D1×LSH×cosine)
+    // The ingestion-time form of q47, the embedding sibling of s29:
+    // vectors arrive as a stream and are flagged near-dup ONLINE
+    // against the already-admitted corpus per hyperplane band bucket
+    // (transformWithState ListState, RocksDB), with the EXACT cosine
+    // verify deciding the flag. The probe's left-to-right double fold
+    // is bit-identical to the batch columnar arithmetic AND the
+    // oracle's list_sum, so the >= threshold comparison can never
+    // disagree cross-engine. Single-data-batch rows process in vec_id
+    // order; admission = global rank <= 64 in the bucket (the online
+    // skew cap). Zero-norm vectors are dropped at banding on BOTH
+    // sides (0/0 = NaN orders above any threshold — the q47 guard).
+    QueryDef(
+      "s31_stream_embed_neardup",
+      (s, d) => {
+        graft.streaming.StreamRunner
+          .assertSingleBatchInput(s"$d/embeddings.parquet")
+        graft.streaming.TwsDedup.withRocksDB(s) {
+          val stream = graft.streaming.StreamRunner.parquetStream(
+            s, s"$d/embeddings.parquet", graft.model.Schemas.embeddings)
+          val flags = graft.streaming.StreamEmbedNearDup.stage(
+            graft.streaming.StreamEmbedNearDup.bandedVecs(stream))
+          graft.streaming.StreamRunner.runToMemory(flags.toDF(), "append")
+            .groupBy(col("vec_id"))
+            .agg(sum(col("hit").cast("int")).as("n_hit_bands"))
+            .select(col("vec_id"), col("n_hit_bands"),
+              (col("n_hit_bands") > 0).as("is_near_dup"))
+            .orderBy(col("vec_id"))
+        }
+      },
+      Some(streamEmbedNearDupOracle(singleBatch = true))),
+
+    // --------- s32 multi-batch streaming embedding near-dup
+    // s31's cross-batch schedule under the hard oracle (the s30
+    // discipline on the embedding axis): vectors arrive as 3
+    // micro-batches split by vec_id % 3, so per-bucket processing
+    // order is (batch, vec_id) and the oracle's admission rank runs
+    // over exactly that order — later-batch vectors probe against
+    // earlier-batch admissions with LARGER vec_ids, and the 64-entry
+    // cap persists across batches.
+    QueryDef(
+      "s32_stream_embed_neardup_multibatch",
+      (s, d) => {
+        graft.streaming.TwsDedup.withRocksDB(s) {
+          val dir = graft.streaming.StreamRunner.batchesDir(
+            s, s"$d/embeddings.parquet", "vec_id", 3)
+          val stream = graft.streaming.StreamRunner.parquetStream(
+            s, dir, graft.model.Schemas.embeddings,
+            maxFilesPerTrigger = Some(1))
+          val flags = graft.streaming.StreamEmbedNearDup.stage(
+            graft.streaming.StreamEmbedNearDup.bandedVecs(stream))
+          val (table, batches) = graft.streaming.StreamRunner
+            .runToMemoryCounted(flags.toDF(), "append")
+          require(batches == 3,
+            s"s32 oracle models exactly 3 input micro-batches, got $batches")
+          table
+            .groupBy(col("vec_id"))
+            .agg(sum(col("hit").cast("int")).as("n_hit_bands"))
+            .select(col("vec_id"), col("n_hit_bands"),
+              (col("n_hit_bands") > 0).as("is_near_dup"))
+            .orderBy(col("vec_id"))
+        }
+      },
+      Some(streamEmbedNearDupOracle(singleBatch = false))))
+
+  /** The online first-N oracle shared by s31 (single batch: processing
+    * order = vec_id) and s32 (3 batches: order = (vec_id % 3, vec_id)).
+    */
+  private def streamEmbedNearDupOracle(singleBatch: Boolean): String = {
+    val order = if (singleBatch) "vec_id" else "vec_id % 3, vec_id"
+    s"""WITH ${embedKeysCte("en_")},
+       |en_nz AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE ${vnormSql("embedding")} > 0),
+       |en_k2 AS (
+       |  SELECT k.vec_id, k.band, k.band_val, e.embedding
+       |  FROM en_keys k JOIN en_nz e USING (vec_id)),
+       |en_rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY band, band_val ORDER BY $order) AS rn
+       |  FROM en_k2),
+       |en_hit AS (
+       |  SELECT b.vec_id, b.band, b.band_val,
+       |    MAX(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hit
+       |  FROM en_rk b LEFT JOIN en_rk a
+       |    ON a.band = b.band AND a.band_val = b.band_val
+       |    AND a.rn < b.rn AND a.rn <= 64
+       |    AND ${dotSql("a.embedding", "b.embedding")} /
+       |      (${vnormSql("a.embedding")} * ${vnormSql("b.embedding")}) >= 0.2
+       |  GROUP BY 1, 2, 3)
+       |SELECT vec_id, CAST(SUM(hit) AS BIGINT) AS n_hit_bands,
+       |  SUM(hit) > 0 AS is_near_dup
+       |FROM en_hit GROUP BY 1 ORDER BY vec_id""".stripMargin
+  }
 }
