@@ -134,6 +134,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"))
   }
 
+  test("streaming near-dup banding: null guard reaches the scan, no re-expanded signature filter (s29 lesson)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = formatted(graft.streaming.StreamNearDup.bandedDocs(docs).toDF())
+    // the guard must be the scan-pushable IsNotNull(text) — NOT a
+    // Filter node containing the re-expanded minhash/shingle pipeline
+    // (the round-5 10× regression: predicate pushdown re-evaluates a
+    // computed column's defining expression inside the filter)
+    assert(plan.contains("IsNotNull(text)"),
+      s"text-null guard must reach PushedFilters:\n$plan")
+    val filterLines = plan.linesIterator
+      .filter(l => l.contains("Condition") && l.contains("minhash32")).toSeq
+    assert(filterLines.isEmpty,
+      s"no Filter may re-evaluate the signature:\n${filterLines.mkString("\n")}")
+  }
+
+  test("streaming embed near-dup banding: zero-norm guard never re-expands the plane dots (s31)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = formatted(graft.streaming.StreamEmbedNearDup.bandedVecs(emb).toDF())
+    // the norm guard references only the raw vector column; if its
+    // pushdown ever drags the 16-plane dot products into a Filter,
+    // this catches it (an O(dim) norm re-expansion is accepted)
+    val badFilter = plan.linesIterator.filter(l =>
+      l.contains("Condition") && l.contains("md5")).toSeq
+    assert(badFilter.isEmpty,
+      s"zero-norm filter must not re-expand the hyperplane dots:\n${badFilter.mkString("\n")}")
+  }
+
   test("connected components: every star round is equi-join shaped — no cartesian, no neighbor-list collect") {
     import spark.implicits._
     // a chain forces ≥2 star rounds; the converged plan (last smallStar
