@@ -16,12 +16,20 @@ object DedupQueries {
 
   private def normSql(c: String) = TextQueries.normSql(c)
 
+  /** DuckDB: distinct word-`n`-gram shingles of a `toks` list — twin
+    * of [[graft.functions.TextFunctions.wordShinglesFromToks]] (shared
+    * with the decontamination oracle, q73/s33, which probes 5-grams).
+    */
+  private[queries] def shinglesSqlN(n: Int): String = {
+    val concat = (0 until n).map(o => s"toks[CAST(i+$o AS INT)]").mkString(" || ' ' || ")
+    s"""list_distinct(CASE WHEN len(toks) < $n
+       |  THEN [list_aggregate(toks, 'string_agg', ' ')]
+       |  ELSE list_transform(range(1, len(toks) - ${n - 2}),
+       |    i -> $concat) END)""".stripMargin
+  }
+
   /** DuckDB: distinct word-3-gram shingles of `norm`/`toks`. */
-  private val shinglesSql =
-    """list_distinct(CASE WHEN len(toks) < 3
-      |  THEN [list_aggregate(toks, 'string_agg', ' ')]
-      |  ELSE list_transform(range(1, len(toks) - 1),
-      |    i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) END)""".stripMargin
+  private[queries] val shinglesSql = shinglesSqlN(3)
 
   /** DuckDB: minhash k=8 signature of a shingle list `sh`. */
   private def sigSql(sh: String): String =

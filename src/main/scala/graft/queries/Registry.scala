@@ -17,5 +17,5 @@ object Registry {
     BatchQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
       AnnQueries.defs ++ ClipQueries.defs ++ StreamQueries.defs ++
       MoreQueries.defs ++ CurationQueries.defs ++ ExtraQueries.defs ++
-      AudioCurationQueries.defs
+      AudioCurationQueries.defs ++ MixQueries.defs
 }

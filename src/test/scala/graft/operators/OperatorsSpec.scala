@@ -319,4 +319,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ccMap(Seq.empty).isEmpty)
     assert(ccMap(Seq((4L, 4L))).isEmpty) // self-pair is not an edge
   }
+
+  test("QuotaSample partial buffers stay quota-bounded with a data-dependent k") {
+    val agg = new QuotaSample
+    val q = 4
+    var buf = agg.zero
+    (1 to 500).foreach { i =>
+      buf = agg.reduce(buf, SampleCand(i.toLong, f"${(i * 37) % 500}%032d", q))
+      assert(buf.length <= 2 * q, s"buffer ${buf.length} exceeded 2*quota after $i rows")
+    }
+    var other = agg.zero
+    (501 to 700).foreach(i => other = agg.reduce(other, SampleCand(i.toLong, f"${(i * 37) % 997}%032d", q)))
+    val merged = agg.merge(buf, other)
+    assert(merged.length <= 2 * q)
+    val out = agg.finish(merged)
+    assert(out.length == q)
+    assert(out.map(_.rn) == (1L to q.toLong)) // ranks are 1..quota in key order
+  }
+
+  test("QuotaSample equals the window-rank it replaces (exact quota, md5 order, id tiebreak)") {
+    val n = 97
+    val cands = (1 to n).map { i =>
+      SampleCand(i.toLong,
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"q:$i"),
+        (n + 4) / 5)
+    }
+    // reference: full sort by (key, id), take quota
+    val expect = cands.sortBy(c => (c.key, c.doc_id)).take((n + 4) / 5)
+      .zipWithIndex.map { case (c, i) => SampledDoc(c.doc_id, i + 1L) }
+    // aggregator over shuffled partials (3 partitions merged out of order)
+    val agg = new QuotaSample
+    val parts = scala.util.Random.shuffle(cands.toVector).grouped(33)
+      .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val got = agg.finish(parts.reduce(agg.merge))
+    assert(got == expect)
+  }
+
+  test("q71 packing conserves tokens and never overflows the pack budget") {
+    val out = graft.queries.MixQueries.defs.find(_.name == "q71_seq_pack").get
+      .fn(spark, "/root/testdata/sf0.001")
+    val rows = out.select("source", "pack_id", "doc_id", "tok_from", "n_toks")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // every span is positive and within the budget
+    assert(rows.forall { case (_, _, _, from, n) => n > 0 && from >= 0 && n <= 128 })
+    // per-pack token totals: exactly 128 for every non-final pack per source
+    val perPack = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._5).sum)
+    val lastPack = rows.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    perPack.foreach { case ((src, pid), tot) =>
+      if (pid < lastPack(src)) assert(tot == 128L, s"pack ($src,$pid) holds $tot")
+      else assert(tot > 0L && tot <= 128L)
+    }
+    // per-doc spans reassemble the whole document exactly once
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        size(split(graft.functions.TextFunctions.normalizeTranscript(col("text")), " "))
+          .cast("long").as("n_tok"))
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._3).foreach { case (doc, spans) =>
+      val sorted = spans.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      assert(sorted.map(_._5).sum == docs(doc), s"doc $doc spans lose tokens")
+      // contiguous, non-overlapping
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4)
+        case _ =>
+      }
+    }
+  }
 }

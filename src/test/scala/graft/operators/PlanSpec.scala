@@ -174,4 +174,25 @@ class PlanSpec extends AnyFunSuite {
       "no neighbor-list aggregation — a hot node's neighborhood must never land on one task")
     assert(cc.as[(Long, Long)].collect().toMap.values.toSet == Set(0L))
   }
+
+  test("quota sampling plans as the k-bounded aggregator — no per-stratum window sort (q70 at 100 TB)") {
+    val plan = formatted(
+      graft.SparkEntry.queries("q70_sample_quota")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("Window"),
+      "per-stratum ranking must be the bounded aggregator, not row_number over the stratum")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"QuotaSample should plan as ObjectHashAggregate (partial+final):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "the quota join must broadcast")
+  }
+
+  test("decontamination probes a BROADCAST benchmark shingle set — no corpus-side shuffle join (q73)") {
+    val plan = formatted(
+      graft.SparkEntry.queries("q73_decontam")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingles are fixed-size — the probe must be map-side:\n$plan")
+    // the only SortMergeJoin-shaped exchange allowed is none: corpus rows
+    // reach the join through Generate (explode) + broadcast probe
+    assert(!plan.contains("SortMergeJoin"),
+      "the 100 TB corpus side must never shuffle for the decontamination probe")
+  }
 }

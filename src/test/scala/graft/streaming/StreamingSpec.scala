@@ -768,4 +768,56 @@ class StreamingSpec extends AnyFunSuite {
         s"restored-state hit profile mismatch: $hits")
     }
   }
+
+  test("token-budget fold: doc_id order, inclusive prefix, budget cut (s34)") {
+    val rows = Seq(DocTok("a", 3L, 4L), DocTok("a", 1L, 5L), DocTok("a", 2L, 2L))
+    val (out, cum) = StreamTokenBudget.foldSource(0L, rows, budget = 10L)
+    assert(cum == 11L)
+    assert(out.map(a => (a.doc_id, a.cum_tokens, a.admitted)) ==
+      Seq((1L, 5L, true), (2L, 7L, true), (3L, 11L, false)))
+    // the total carried from a prior batch counts against the budget
+    val (out2, _) = StreamTokenBudget.foldSource(7L, Seq(DocTok("a", 9L, 4L)), 10L)
+    assert(out2.head.cum_tokens == 11L && !out2.head.admitted)
+  }
+
+  test("token-budget ValueState survives checkpoint restart: the total carries (D7, RocksDB, s35)") {
+    graft.streaming.TwsDedup.withRocksDB(spark) {
+      val base = java.nio.file.Files.createTempDirectory("tokbudget_restart_").toString
+      val inDir = s"$base/in"
+      val ckpt = s"$base/ckpt"
+      def writeDocs(rows: Seq[(Long, String, String)]): Unit =
+        rows.toDF("doc_id", "source", "text").coalesce(1)
+          .write.mode("append").parquet(inDir)
+      val sink = new graft.sink.ExactlyOnceSink(s"$base/out", Seq("doc_id"))
+      def startQuery() = {
+        val docs = spark.readStream
+          .schema("doc_id LONG, source STRING, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir)
+        StreamTokenBudget.stage(StreamTokenBudget.docTokens(docs), budget = 10L)
+          .toDF()
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => sink.write(df, id))
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
+      writeDocs(Seq((1L, "web", "one two three four five six"),
+        (2L, "web", "seven eight nine")))
+      val q1 = startQuery()
+      try q1.processAllAvailable()
+      finally q1.stop()
+      // after restart: doc 3 (2 tokens) lands at cum 11 > 10 and must be
+      // REJECTED — if the ValueState were lost, cum would restart at 2
+      // and the doc would be admitted
+      writeDocs(Seq((3L, "web", "ten eleven")))
+      val q2 = startQuery()
+      try q2.processAllAvailable()
+      finally q2.stop()
+      val out = sink.readCommitted(spark)
+        .select(col("doc_id"), col("cum_tokens"), col("admitted"))
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      assert(out.toSeq == Seq((1L, 6L, true), (2L, 9L, true), (3L, 11L, false)),
+        s"restored-total admission profile mismatch: ${out.toSeq}")
+    }
+  }
 }
