@@ -15,6 +15,65 @@ object CurationQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Kept documents of the q48 curation pipeline (quality gates →
+    * language allow-list → exact-dup removal → near-dup cluster
+    * resolution), carrying (doc_id, lang, source, text, n_tokens,
+    * stopword_ratio). Shared by q48 (the keep-list projection) and
+    * q75 (the packed curated mix).
+    */
+  private[queries] def keepListDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val q = qualityStruct(col("text"))
+    val scored = docs.select(
+      col("doc_id"), col("lang"), col("source"), col("text"),
+      q.getField("n_tokens").as("n_tokens"),
+      q.getField("stopword_ratio").as("stopword_ratio"))
+    val gated = scored
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 95)
+      .filter(col("lang").isin("en", "de", "es"))
+    val keepers = Dedup.exactDedup(gated, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val exact = gated.join(keepers, "doc_id")
+    val pairs = Dedup.minhashLshPairs(exact, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, threshold = 0.5, maxBucketSize = 64)
+      .select(col("id_a"), col("id_b"))
+    val nonCanonical = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    exact.join(nonCanonical, Seq("doc_id"), "left_anti")
+  }
+
+  /** WITH-chain (starts at `WITH RECURSIVE`, no final SELECT) deriving
+    * the q48 keep-list; final relation `kept` carries (doc_id, lang,
+    * source, text, nt, n_tokens, stopword_ratio). The oracle twin of
+    * [[keepListDocs]], shared by q48/q75.
+    */
+  private[queries] lazy val keeplistCtes: String = {
+    val norm = TextQueries.normSql("text")
+    s"""WITH RECURSIVE n AS (
+       |  SELECT doc_id, lang, source, text, $norm AS nt FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang, source, text, nt,
+       |    CASE WHEN length(nt) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END AS n_tokens
+       |  FROM n),
+       |g AS (
+       |  SELECT doc_id, lang, source, text, nt, n_tokens,
+       |    round(CASE WHEN n_tokens = 0 THEN 0.0
+       |      ELSE CAST(len(list_filter(string_split(nt, ' '), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / n_tokens END, 6) AS stopword_ratio
+       |  FROM m
+       |  WHERE n_tokens BETWEEN 20 AND 95 AND lang IN ('en', 'de', 'es')),
+       |k AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM g GROUP BY md5(nt)),
+       |kk AS (
+       |  SELECT g.* FROM g JOIN k ON g.doc_id = k.doc_id),
+       |""".stripMargin +
+      DedupQueries.minhashPairsCtes("mh_", "kk", 0.5) + ",\n" +
+      DedupQueries.closureCtes("cc_", "mh_pairs") + ",\n" +
+      """kept AS (
+        |  SELECT kk.* FROM kk
+        |  WHERE kk.doc_id NOT IN (SELECT id FROM cc_cl WHERE id <> cluster_id))""".stripMargin
+  }
+
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)))"
   private def vnormSql(a: String) =
@@ -124,56 +183,14 @@ object CurationQueries {
     // near-duplicates survived curation (round-3 verdict Missing #1).
     QueryDef(
       "q48_curation_keeplist",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val q = qualityStruct(col("text"))
-        val scored = docs.select(
-          col("doc_id"), col("lang"), col("text"),
-          q.getField("n_tokens").as("n_tokens"),
-          q.getField("stopword_ratio").as("stopword_ratio"))
-        val gated = scored
-          .filter(col("n_tokens") >= 20 && col("n_tokens") <= 95)
-          .filter(col("lang").isin("en", "de", "es"))
-        val keepers = Dedup.exactDedup(gated, "doc_id", "text")
-          .select(col("keeper_id").as("doc_id"))
-        val exact = gated.join(keepers, "doc_id")
-        val pairs = Dedup.minhashLshPairs(exact, "doc_id", "text",
-            shingleN = 3, k = 8, bands = 4, threshold = 0.5, maxBucketSize = 64)
-          .select(col("id_a"), col("id_b"))
-        val nonCanonical = Dedup.connectedComponents(pairs, "id_a", "id_b")
-          .filter(col("id") =!= col("cluster_id"))
-          .select(col("id").as("doc_id"))
-        exact.join(nonCanonical, Seq("doc_id"), "left_anti")
+      (s, d) =>
+        keepListDocs(s, d)
           .select(col("doc_id"), col("lang"), col("n_tokens"),
             col("stopword_ratio"))
-          .orderBy(col("doc_id"))
-      },
-      Some {
-        val norm = TextQueries.normSql("text")
-        s"""WITH RECURSIVE n AS (
-           |  SELECT doc_id, lang, text, $norm AS nt FROM documents),
-           |m AS (
-           |  SELECT doc_id, lang, text, nt,
-           |    CASE WHEN length(nt) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END AS n_tokens
-           |  FROM n),
-           |g AS (
-           |  SELECT doc_id, lang, text, nt, n_tokens,
-           |    round(CASE WHEN n_tokens = 0 THEN 0.0
-           |      ELSE CAST(len(list_filter(string_split(nt, ' '), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / n_tokens END, 6) AS stopword_ratio
-           |  FROM m
-           |  WHERE n_tokens BETWEEN 20 AND 95 AND lang IN ('en', 'de', 'es')),
-           |k AS (
-           |  SELECT MIN(doc_id) AS doc_id FROM g GROUP BY md5(nt)),
-           |kk AS (
-           |  SELECT g.* FROM g JOIN k ON g.doc_id = k.doc_id),
-           |""".stripMargin +
-          DedupQueries.minhashPairsCtes("mh_", "kk", 0.5) + ",\n" +
-          DedupQueries.closureCtes("cc_", "mh_pairs") + "\n" +
-          """SELECT kk.doc_id, kk.lang, kk.n_tokens, kk.stopword_ratio
-            |FROM kk
-            |WHERE kk.doc_id NOT IN (SELECT id FROM cc_cl WHERE id <> cluster_id)
-            |ORDER BY kk.doc_id""".stripMargin
-      }),
+          .orderBy(col("doc_id")),
+      Some(keeplistCtes + "\n" +
+        """SELECT doc_id, lang, n_tokens, stopword_ratio
+          |FROM kept ORDER BY doc_id""".stripMargin)),
 
     // --------- s31 streaming embedding near-dup (D1×LSH×cosine)
     // The ingestion-time form of q47, the embedding sibling of s29:

@@ -47,6 +47,62 @@ object MixQueries {
     */
   private val TokenBudget = 700L
 
+  /** Span explode shared by every packing surface (q71 batch window,
+    * s36/s37 streaming positions, q75 curated mix): given per-doc
+    * token positions (source, doc_id, tok_start, tok_end), emit one
+    * row per (doc, pack) span with the in-doc token range. Narrow —
+    * sequence() spans at most ceil(n_tok/B)+1 pack ids per doc.
+    */
+  private def packSpans(pos: DataFrame): DataFrame = {
+    val B = PackTokens
+    pos
+      .withColumn("pack_id",
+        explode(sequence(expr(s"tok_start div $B"), expr(s"(tok_end - 1) div $B"))))
+      .select(col("source"), col("pack_id"), col("doc_id"),
+        (greatest(col("tok_start"), col("pack_id") * B) - col("tok_start"))
+          .as("tok_from"),
+        (least(col("tok_end"), (col("pack_id") + 1) * B) -
+          greatest(col("tok_start"), col("pack_id") * B)).as("n_toks"))
+      .orderBy(col("source"), col("pack_id"), col("doc_id"))
+  }
+
+  /** Oracle CTE suffix (prefix sum → span explode → final SELECT)
+    * over a relation `base`(source, doc_id, n_tok), parameterized by
+    * the engine's per-source processing order — `doc_id` for batch
+    * and single-batch streams, `(doc_id % 3, doc_id)` for the
+    * 3-batch schedule. One oracle for q71/q75/s36/s37.
+    */
+  private def packSqlFrom(order: String): String =
+    s"""sp AS (
+       |  SELECT source, doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY $order) AS BIGINT)
+       |      AS tok_end
+       |  FROM base),
+       |ex AS (
+       |  SELECT source, doc_id, tok_end - n_tok AS tok_start, tok_end,
+       |    unnest(generate_series((tok_end - n_tok) // $PackTokens,
+       |                           (tok_end - 1) // $PackTokens)) AS pack_id
+       |  FROM sp)
+       |SELECT source, pack_id, doc_id,
+       |  greatest(tok_start, pack_id * $PackTokens) - tok_start AS tok_from,
+       |  least(tok_end, (pack_id + 1) * $PackTokens)
+       |    - greatest(tok_start, pack_id * $PackTokens) AS n_toks
+       |FROM ex ORDER BY source, pack_id, doc_id""".stripMargin
+
+  /** Tokenized `base` CTE over the raw documents table. */
+  private lazy val docsBaseCte: String =
+    s"""base AS (
+       |  SELECT source, doc_id,
+       |    len(string_split(${TextQueries.normSql("text")}, ' ')) AS n_tok
+       |  FROM documents
+       |  WHERE length(${TextQueries.normSql("text")}) > 0)""".stripMargin
+
+  /** Shared packing oracle: q71 (batch) ≡ s36 (single-batch stream) —
+    * the s21≡s22 twin discipline.
+    */
+  private lazy val seqPackSql: String =
+    "WITH " + docsBaseCte + ",\n" + packSqlFrom("doc_id")
+
   val defs: Seq[QueryDef] = Seq(
     // ----------- q69 hash-threshold stratified sampling (data mixing)
     // Per-language Bernoulli-style rates (en 50 %, rest 25 %) decided
@@ -126,7 +182,6 @@ object MixQueries {
       "q71_seq_pack",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val B = PackTokens
         val base = docs
           .select(col("source"), col("doc_id"),
             normalizeTranscript(col("text")).as("__norm"))
@@ -134,38 +189,11 @@ object MixQueries {
           .select(col("source"), col("doc_id"),
             size(split(col("__norm"), " ")).cast("long").as("n_tok"))
         val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        base
+        packSpans(base
           .withColumn("tok_end", sum(col("n_tok")).over(w))
-          .withColumn("tok_start", col("tok_end") - col("n_tok"))
-          .withColumn("pack_id",
-            explode(sequence(expr(s"tok_start div $B"), expr(s"(tok_end - 1) div $B"))))
-          .select(col("source"), col("pack_id"), col("doc_id"),
-            (greatest(col("tok_start"), col("pack_id") * B) - col("tok_start"))
-              .as("tok_from"),
-            (least(col("tok_end"), (col("pack_id") + 1) * B) -
-              greatest(col("tok_start"), col("pack_id") * B)).as("n_toks"))
-          .orderBy(col("source"), col("pack_id"), col("doc_id"))
+          .withColumn("tok_start", col("tok_end") - col("n_tok")))
       },
-      Some(s"""WITH base AS (
-              |  SELECT source, doc_id,
-              |    len(string_split(${TextQueries.normSql("text")}, ' ')) AS n_tok
-              |  FROM documents
-              |  WHERE length(${TextQueries.normSql("text")}) > 0),
-              |sp AS (
-              |  SELECT source, doc_id, n_tok,
-              |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
-              |      AS tok_end
-              |  FROM base),
-              |ex AS (
-              |  SELECT source, doc_id, tok_end - n_tok AS tok_start, tok_end,
-              |    unnest(generate_series((tok_end - n_tok) // $PackTokens,
-              |                           (tok_end - 1) // $PackTokens)) AS pack_id
-              |  FROM sp)
-              |SELECT source, pack_id, doc_id,
-              |  greatest(tok_start, pack_id * $PackTokens) - tok_start AS tok_from,
-              |  least(tok_end, (pack_id + 1) * $PackTokens)
-              |    - greatest(tok_start, pack_id * $PackTokens) AS n_toks
-              |FROM ex ORDER BY source, pack_id, doc_id""".stripMargin)),
+      Some(seqPackSql)),
 
     // ---------- q72 intra-document repetition signals (quality gates)
     // Gopher-style repetition filters: duplicate-bigram fraction
@@ -439,7 +467,81 @@ object MixQueries {
             .orderBy(col("doc_id"))
         }
       },
-      Some(tokenBudgetSql("doc_id % 3, doc_id")))
+      Some(tokenBudgetSql("doc_id % 3, doc_id"))),
+
+    // ----------- q75 curated pretraining mix (end-to-end flagship)
+    // The full materialization a pretraining data job runs: the q48
+    // curation pipeline (quality gates → language allow-list → exact
+    // dedup → near-dup cluster resolution) feeding the q71 sequence
+    // packer — kept docs only, packed into fixed-budget training
+    // sequences per source. Both halves are byte-shared with their
+    // standalone queries (keepListDocs/keeplistCtes, packSpans/
+    // packSqlFrom), so this query pins the COMPOSITION: curation's
+    // output schema keeps feeding the packer as either side evolves.
+    QueryDef(
+      "q75_curated_mix",
+      (s, d) => {
+        val kept = CurationQueries.keepListDocs(s, d)
+          .select(col("source"), col("doc_id"),
+            col("n_tokens").cast("long").as("n_tok"))
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        packSpans(kept
+          .withColumn("tok_end", sum(col("n_tok")).over(w))
+          .withColumn("tok_start", col("tok_end") - col("n_tok")))
+      },
+      Some(CurationQueries.keeplistCtes + ",\n" +
+        "base AS (SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tok FROM kept),\n" +
+        packSqlFrom("doc_id"))),
+
+    // --------- s36 streaming sequence packing (ingestion-time q71)
+    // Documents arrive as a stream and receive their token-stream
+    // positions ONLINE: the per-source running offset lives in the
+    // same ValueState the token budget uses (an unlimited budget IS
+    // the streaming prefix sum — one stateful operator, two
+    // surfaces), and the span explode downstream is byte-shared with
+    // the batch packer. Single batch → processing order is doc_id
+    // order, so s36 shares q71's oracle VERBATIM (the s21≡s22 twin
+    // discipline: one oracle, two physical strategies).
+    QueryDef(
+      "s36_stream_seq_pack",
+      (s, d) => {
+        graft.streaming.StreamRunner
+          .assertSingleBatchInput(s"$d/documents.parquet")
+        graft.streaming.TwsDedup.withRocksDB(s) {
+          val stream = graft.streaming.StreamRunner.parquetStream(
+            s, s"$d/documents.parquet", graft.model.Schemas.documents)
+          val pos = graft.streaming.StreamTokenBudget.positions(
+            graft.streaming.StreamTokenBudget.docTokens(stream))
+          packSpans(graft.streaming.StreamRunner.runToMemory(pos, "append"))
+        }
+      },
+      Some(seqPackSql)),
+
+    // ------ s37 multi-batch streaming packing: offsets carried in state
+    // 3 micro-batches split by doc_id % 3: a batch-1 doc's position
+    // includes batch-0 docs with LARGER doc_ids — the running offset
+    // crosses batches through the ValueState, the regime the
+    // single-batch oracle cannot produce. Oracle = the same pack
+    // arithmetic over the engine's processing order (batch, doc_id).
+    QueryDef(
+      "s37_stream_seq_pack_multibatch",
+      (s, d) => {
+        graft.streaming.TwsDedup.withRocksDB(s) {
+          val dir = graft.streaming.StreamRunner.batchesDir(
+            s, s"$d/documents.parquet", "doc_id", 3)
+          val stream = graft.streaming.StreamRunner.parquetStream(
+            s, dir, graft.model.Schemas.documents,
+            maxFilesPerTrigger = Some(1))
+          val pos = graft.streaming.StreamTokenBudget.positions(
+            graft.streaming.StreamTokenBudget.docTokens(stream))
+          val (table, batches) = graft.streaming.StreamRunner
+            .runToMemoryCounted(pos, "append")
+          require(batches == 3,
+            s"s37 oracle models exactly 3 input micro-batches, got $batches")
+          packSpans(table)
+        }
+      },
+      Some("WITH " + docsBaseCte + ",\n" + packSqlFrom("doc_id % 3, doc_id")))
   )
 
   /** One prefix-sum oracle for both token-budget queries,

@@ -103,4 +103,17 @@ object StreamTokenBudget {
       .transformWithState(new BudgetProcessor(budget),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Streaming per-document token POSITIONS: the budget processor
+    * with an unlimited budget is exactly the per-source streaming
+    * prefix sum, so the position assigner of the sequence packer
+    * (s36/s37, the ingestion-time q71) is the same stateful operator
+    * — `tok_end` is the inclusive running total the state carries
+    * across batches, `tok_start` backs the document's own count out.
+    */
+  def positions(toks: Dataset[DocTok]): DataFrame =
+    stage(toks, Long.MaxValue).toDF()
+      .select(col("source"), col("doc_id"),
+        (col("cum_tokens") - col("n_tok")).as("tok_start"),
+        col("cum_tokens").as("tok_end"))
 }

@@ -387,4 +387,23 @@ class OperatorsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q75 packs exactly the q48 keep-list: same docs, full token conservation") {
+    val sf = "/root/testdata/sf0.001"
+    val mix = graft.queries.MixQueries.defs.find(_.name == "q75_curated_mix").get
+      .fn(spark, sf)
+      .select("doc_id", "n_toks").as[(Long, Long)].collect()
+    val kept = graft.queries.CurationQueries.defs
+      .find(_.name == "q48_curation_keeplist").get.fn(spark, sf)
+      .select(col("doc_id"), col("n_tokens").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(mix.nonEmpty && kept.nonEmpty)
+    // every packed doc is a kept doc and vice versa
+    assert(mix.map(_._1).toSet == kept.keySet,
+      "packed doc set must equal the curation keep-list")
+    // per-doc spans sum to the doc's curated token count
+    mix.groupBy(_._1).foreach { case (doc, spans) =>
+      assert(spans.map(_._2).sum == kept(doc), s"doc $doc loses tokens in the mix")
+    }
+  }
 }
