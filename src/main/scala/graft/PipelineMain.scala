@@ -22,6 +22,8 @@ import graft.streaming.{ClipMeta, ClipPipeline, GraftQueryListener, Metrics}
   *                                                 time wins per clip,
   *                                                 bucketed
   *                                                 copy-on-write)
+  *   [optional] token-budget admission → sink     (ingestion-time mix
+  *                                                 control; --rocksdb)
   *
   * Every sink is the exactly-once batchId-committed MERGE protocol
   * with per-partition lineage (D2/D7); restart with the same
@@ -41,12 +43,14 @@ import graft.streaming.{ClipMeta, ClipPipeline, GraftQueryListener, Metrics}
   *   --interval <dur>    Trigger.ProcessingTime instead of --once
   *   --rocksdb           use the RocksDB state store provider
   *   --pipelines <csv>   enable only the named pipelines out of
-  *                       mapped,dedup,rollup,sessions,join,upsert
+  *                       mapped,dedup,rollup,sessions,join,upsert,budget
   *                       (default: the first four, plus join when
-  *                       --updates is given);
+  *                       --updates is given; budget requires --rocksdb);
   *                       an empty or invalid selection REFUSES to boot
   *                       (exit 2) — the reference's zero-mapper guard
   *                       (LabToFhirProcessor.java:26-29)
+  *   --token-budget <n>  per-codec transcript-token budget for the
+  *                       budget pipeline (default 100000)
   *   --strict-max-failures <n>  poison-pill mode for the decode map:
   *                       more than n malformed records in a task fails
   *                       the query instead of quarantining (the
@@ -61,7 +65,7 @@ object PipelineMain {
   private val BooleanFlags = Set("once", "rocksdb")
 
   private[graft] val AllPipelines =
-    Seq("mapped", "dedup", "rollup", "sessions", "join", "upsert")
+    Seq("mapped", "dedup", "rollup", "sessions", "join", "upsert", "budget")
 
   /** Enabled-pipeline selection with the reference's boot guards:
     * unknown names and an empty selection are refused outright.
@@ -79,6 +83,9 @@ object PipelineMain {
         s"unknown pipeline(s): ${unknown.mkString(",")} (valid: ${AllPipelines.mkString(",")})")
     if (requested.contains("join") && !opt.contains("updates"))
       throw new IllegalArgumentException("pipeline 'join' requires --updates <dir>")
+    if (requested.contains("budget") && !opt.contains("rocksdb"))
+      throw new IllegalArgumentException(
+        "pipeline 'budget' requires --rocksdb (transformWithState state store)")
     if (requested.isEmpty)
       throw new IllegalArgumentException(
         "no pipelines enabled — refusing to start")
@@ -140,12 +147,13 @@ object PipelineMain {
        else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
         .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     val r = run(spark, opt, enabled)
 
     // metrics summary (D8) — rows processed per query + late drops
     val summary = Seq("graft_mapped", "graft_dedup", "graft_rollup",
-      "graft_sessions", "graft_join", "graft_upsert")
+      "graft_sessions", "graft_join", "graft_upsert", "graft_budget")
       .map(n => s""""$n":{"rows":${r.listener.totalInputRows(n)},"batches":${r.listener.batches(n)},"late_dropped":${r.listener.droppedByWatermark(n)}}""")
       .mkString("{", ",", "}")
     // lineage reconciliation (D7): every committed batch's partition
@@ -170,7 +178,22 @@ object PipelineMain {
       val observed = r.listener.totalInputRows("graft_upsert")
       s""""$name":{"merged_rows":$rows,"distinct_keys":$keys,"input_rows":$observed,"reconciled":${rows == keys && observed >= rows}}"""
     }).mkString("{", ",", "}")
-    println(s"""{"pipeline":"done","queries":$summary,"lineage":$reconcile}""")
+    // budget conservation: the prefix sum is only correct if the
+    // per-source running total survived every batch boundary — then
+    // max(cum_tokens) over committed rows equals the source's total
+    // token count (admitted AND rejected audit rows both count)
+    val budgetJson = r.sinks.get("budget").map { sink =>
+      val rows = sink.readCommitted(spark)
+      val perSource = rows.groupBy(col("source"))
+        .agg(max(col("cum_tokens")).as("max_cum"), sum(col("n_tok")).as("tot"),
+          count(lit(1)).as("n"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("admitted"))
+      val bad = perSource.filter(col("max_cum") =!= col("tot")).count()
+      val (n, adm) = perSource
+        .agg(sum(col("n")), sum(col("admitted"))).as[(Long, Long)].head()
+      s""","budget":{"rows":$n,"admitted":$adm,"prefix_conserved":${bad == 0L}}"""
+    }.getOrElse("")
+    println(s"""{"pipeline":"done","queries":$summary,"lineage":$reconcile$budgetJson}""")
     spark.stop()
   }
 
@@ -325,6 +348,34 @@ object PipelineMain {
     //      clip table: latest event time wins per clip_id, stale
     //      replays never regress a key, untouched buckets carry
     //      forward by reference
+    // ---- query 7: per-source token-budget admission (the ingestion-
+    //      time mixing control — s34's stateful operator as a
+    //      deployable stage): each codec stratum admits clips in
+    //      processing order until its running transcript-token total
+    //      passes --token-budget; rows past the cut are still
+    //      committed as rejected audit rows, never silently dropped.
+    //      Requires --rocksdb (transformWithState). doc_id is
+    //      xxhash64(clip_id) — the Long key/order handle the budget
+    //      fold needs (collision odds at 2^64 are negligible).
+    val q7 = if (!enabled.contains("budget")) None else Some {
+      val budgetSink = new ExactlyOnceSink(s"$output/budget", Seq("doc_id"))
+      sinks += ("budget" -> budgetSink)
+      val budget = opt.getOrElse("token-budget", "100000").toLong
+      val docs = clipStream()
+        .select(col("codec").as("source"),
+          xxhash64(col("clip_id")).as("doc_id"),
+          col("transcript").as("text"))
+      graft.streaming.StreamTokenBudget
+        .stage(graft.streaming.StreamTokenBudget.docTokens(docs), budget)
+        .toDF()
+        .writeStream
+        .queryName("graft_budget")
+        .foreachBatch((df: DataFrame, id: Long) => budgetSink.write(df, id))
+        .option("checkpointLocation", s"$ckpt/budget")
+        .trigger(trigger)
+        .start()
+    }
+
     val q6 = if (!enabled.contains("upsert")) None else Some {
       val upSink = new graft.sink.UpsertSink(s"$output/upsert",
         Seq("clip_id"), "ver")
@@ -343,7 +394,8 @@ object PipelineMain {
         .start()
     }
 
-    (q1.toSeq ++ q2.toSeq ++ q3.toSeq ++ q5.toSeq ++ q4.toSeq ++ q6.toSeq)
+    (q1.toSeq ++ q2.toSeq ++ q3.toSeq ++ q5.toSeq ++ q4.toSeq ++ q6.toSeq ++
+      q7.toSeq)
       .foreach(_.awaitTermination())
     // progress events arrive on the async listener bus — drain it
     // before detaching, or the summary can miss the final micro-batch

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Boot-time configuration guards of the deployable app — the
@@ -148,6 +149,41 @@ class PipelineMainSpec extends AnyFunSuite {
     assert(merged.exceptAll(expectedWinners).isEmpty &&
       expectedWinners.exceptAll(merged).isEmpty,
       "upsert: merged snapshot differs from per-key latest-version winners")
+  }
+
+  test("budget pipeline: per-source prefix conservation; boot guard without --rocksdb") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // transformWithState is RocksDB-only — refusing at boot beats a
+    // mid-run provider error
+    intercept[IllegalArgumentException] {
+      PipelineMain.selectPipelines(Map("pipelines" -> "budget"))
+    }
+    val out = java.nio.file.Files.createTempDirectory("pipe_budget_").toString
+    graft.synth.ClipGen.stagedClips(spark, "/root/testdata/sf0.001").head(1)
+    val input = graft.synth.ClipGen.clipsTablePath("/root/testdata/sf0.001")
+    graft.streaming.TwsDedup.withRocksDB(spark) {
+      val r = PipelineMain.run(spark,
+        Map("input" -> input, "output" -> out, "checkpoint" -> s"$out/_ckpt",
+          "rocksdb" -> "true", "token-budget" -> "200"),
+        Seq("budget"))
+      val per = r.sinks("budget").readCommitted(spark)
+        .groupBy(col("source"))
+        .agg(max(col("cum_tokens")).as("max_cum"), sum(col("n_tok")).as("tot"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("adm"),
+          count(lit(1)).as("n"))
+        .as[(String, Long, Long, Long, Long)].collect()
+      assert(per.nonEmpty)
+      per.foreach { case (src, maxCum, tot, adm, n) =>
+        // the running total survived every batch boundary iff the max
+        // committed prefix equals the source's full token count
+        assert(maxCum == tot, s"$src prefix broken: max cum $maxCum != total $tot")
+        assert(adm <= n)
+      }
+      assert(per.map(_._4).sum > 0, "no source admitted anything")
+      assert(per.exists { case (_, _, _, adm, n) => adm < n },
+        "budget never cut — the 200-token budget should reject some clips")
+    }
   }
 
   test("parseArgs: value flags, boolean flags, malformed input") {
