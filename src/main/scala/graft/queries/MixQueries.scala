@@ -284,13 +284,19 @@ object MixQueries {
       "q73_decontam",
       (s, d) => {
         val docs = t(s, d, "documents")
+        // toks staged in its own select (the Dedup.minhashSignatures
+        // discipline): passing split(..) inline would re-evaluate the
+        // split per element_at inside the shingle lambda — measured
+        // ~5x on this query (plan showed 5 splits per position)
         val sh = docs
           .select(col("doc_id"), normalizeTranscript(col("text")).as("__norm"))
           .filter(length(col("__norm")) > 0)
-          .select(col("doc_id"),
-            wordShinglesFromToks(split(col("__norm"), " "), DecontamN).as("sh"),
+          .select(col("doc_id"), split(col("__norm"), " ").as("__toks"),
             (substring(md5(concat(lit("bm:"), col("doc_id").cast("string"))), 1, 1)
               === "0").as("is_bench"))
+          .select(col("doc_id"),
+            wordShinglesFromToks(col("__toks"), DecontamN).as("sh"),
+            col("is_bench"))
         val benchSh = sh.filter(col("is_bench"))
           .select(explode(col("sh")).as("s")).distinct()
         sh.filter(!col("is_bench"))
@@ -394,18 +400,22 @@ object MixQueries {
           .assertSingleBatchInput(s"$d/documents.parquet")
         val isBench =
           substring(md5(concat(lit("bm:"), col("doc_id").cast("string"))), 1, 1) === "0"
+        // same staged-toks discipline as q73 (split evaluated once per
+        // row, not once per element_at in the shingle lambda)
         val benchSh = t(s, d, "documents")
           .select(col("doc_id"), normalizeTranscript(col("text")).as("__norm"))
           .filter(length(col("__norm")) > 0).filter(isBench)
-          .select(explode(wordShinglesFromToks(split(col("__norm"), " "), DecontamN)).as("s"))
+          .select(split(col("__norm"), " ").as("__toks"))
+          .select(explode(wordShinglesFromToks(col("__toks"), DecontamN)).as("s"))
           .distinct()
         val stream = graft.streaming.StreamRunner.parquetStream(
           s, s"$d/documents.parquet", graft.model.Schemas.documents)
         val hits = stream
           .select(col("doc_id"), normalizeTranscript(col("text")).as("__norm"))
           .filter(length(col("__norm")) > 0).filter(!isBench)
+          .select(col("doc_id"), split(col("__norm"), " ").as("__toks"))
           .select(col("doc_id"),
-            explode(wordShinglesFromToks(split(col("__norm"), " "), DecontamN)).as("s"))
+            explode(wordShinglesFromToks(col("__toks"), DecontamN)).as("s"))
           .join(broadcast(benchSh), "s")
         graft.streaming.StreamRunner.runToMemory(hits, "append")
           .groupBy(col("doc_id"))
