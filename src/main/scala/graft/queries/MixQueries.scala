@@ -551,8 +551,82 @@ object MixQueries {
           packSpans(table)
         }
       },
-      Some("WITH " + docsBaseCte + ",\n" + packSqlFrom("doc_id % 3, doc_id")))
+      Some("WITH " + docsBaseCte + ",\n" + packSqlFrom("doc_id % 3, doc_id"))),
+
+    // -------- s38 streaming online top-k admission (ingestion q70)
+    // The quota sample's ingestion-time form: each doc is flagged AT
+    // ARRIVAL iff its md5 rank key is among the k smallest its source
+    // has seen so far. The state is the running k-minimum set itself —
+    // bounded ordered state WITH EVICTION (a later smaller key
+    // displaces the current max), the state discipline s29's
+    // append-only first-k admission does not exercise. Single batch →
+    // processing order is doc_id order; the oracle counts strictly
+    // smaller (key, doc_id) pairs among earlier-processed rows.
+    QueryDef(
+      "s38_stream_topk",
+      (s, d) => {
+        graft.streaming.StreamRunner
+          .assertSingleBatchInput(s"$d/documents.parquet")
+        graft.streaming.TwsDedup.withRocksDB(s) {
+          val stream = graft.streaming.StreamRunner.parquetStream(
+            s, s"$d/documents.parquet", graft.model.Schemas.documents)
+          val flags = graft.streaming.StreamTopK.stage(
+            graft.streaming.StreamTopK.rankedDocs(stream))
+          graft.streaming.StreamRunner.runToMemory(flags.toDF(), "append")
+            .select(col("doc_id"), col("source"), col("key"), col("in_topk"))
+            .orderBy(col("doc_id"))
+        }
+      },
+      Some(topkSql("b.doc_id < a.doc_id"))),
+
+    // ------ s39 multi-batch top-k: eviction state carried in state
+    // 3 micro-batches split by doc_id % 3: a batch-1 doc probes a heap
+    // already holding batch-0 admissions with LARGER doc_ids, and
+    // batch-2 keys can EVICT batch-0 entries before later batch-2 rows
+    // probe — both regimes a single-batch run structurally cannot
+    // produce. Oracle = the same prefix-rank count over (batch,
+    // doc_id) processing order.
+    QueryDef(
+      "s39_stream_topk_multibatch",
+      (s, d) => {
+        graft.streaming.TwsDedup.withRocksDB(s) {
+          val dir = graft.streaming.StreamRunner.batchesDir(
+            s, s"$d/documents.parquet", "doc_id", 3)
+          val stream = graft.streaming.StreamRunner.parquetStream(
+            s, dir, graft.model.Schemas.documents,
+            maxFilesPerTrigger = Some(1))
+          val flags = graft.streaming.StreamTopK.stage(
+            graft.streaming.StreamTopK.rankedDocs(stream))
+          val (table, batches) = graft.streaming.StreamRunner
+            .runToMemoryCounted(flags.toDF(), "append")
+          require(batches == 3,
+            s"s39 oracle models exactly 3 input micro-batches, got $batches")
+          table
+            .select(col("doc_id"), col("source"), col("key"), col("in_topk"))
+            .orderBy(col("doc_id"))
+        }
+      },
+      Some(topkSql(
+        "(b.doc_id % 3 < a.doc_id % 3 OR (b.doc_id % 3 = a.doc_id % 3 AND b.doc_id < a.doc_id))")))
   )
+
+  /** One prefix-rank oracle for both top-k queries, parameterized only
+    * by "b processed strictly before a": in_topk iff fewer than k
+    * earlier-processed same-source rows carry a smaller (key, doc_id).
+    */
+  private def topkSql(earlier: String): String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id,
+       |    md5('tk:' || CAST(doc_id AS VARCHAR)) AS key
+       |  FROM documents),
+       |c AS (
+       |  SELECT a.source, a.doc_id, a.key, COUNT(b.doc_id) AS nb
+       |  FROM r a LEFT JOIN r b ON b.source = a.source
+       |    AND $earlier
+       |    AND (b.key < a.key OR (b.key = a.key AND b.doc_id < a.doc_id))
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, source, key, nb < ${graft.streaming.StreamTopK.DefaultK} AS in_topk
+       |FROM c ORDER BY doc_id""".stripMargin
 
   /** One prefix-sum oracle for both token-budget queries,
     * parameterized only by the engine's processing order.

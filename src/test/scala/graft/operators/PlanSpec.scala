@@ -194,5 +194,13 @@ class PlanSpec extends AnyFunSuite {
     // reach the join through Generate (explode) + broadcast probe
     assert(!plan.contains("SortMergeJoin"),
       "the 100 TB corpus side must never shuffle for the decontamination probe")
+    // regression lock for the staged-toks fix: passing split(..) inline
+    // to the shingle builder re-evaluated the split per element_at in
+    // the 5-gram lambda (5 splits per position — measured 4.6x on this
+    // query). Staged, no plan line evaluates split more than once.
+    plan.linesIterator.foreach { l =>
+      val n = "split\\(".r.findAllIn(l).size
+      assert(n <= 1, s"a plan node evaluates split() $n times — toks must be staged:\n$l")
+    }
   }
 }

@@ -769,6 +769,64 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("online top-k fold: arrival-rank semantics, eviction, strict boundary (s38)") {
+    val rows = Seq(
+      RankedDoc("a", 1L, "cc"), RankedDoc("a", 2L, "bb"),
+      RankedDoc("a", 3L, "aa"), RankedDoc("a", 4L, "bz"))
+    val (flags, heap) = StreamTopK.foldSource(Vector.empty, rows, k = 2)
+    // 1,2 fill the heap; 3 ("aa") evicts "cc"; 4 ("bz") is above the
+    // POST-eviction boundary ("bb") and must be rejected
+    assert(flags.map(f => (f.doc_id, f.in_topk)) ==
+      Seq((1L, true), (2L, true), (3L, true), (4L, false)))
+    assert(heap == Vector(HeapEntry("aa", 3L), HeapEntry("bb", 2L)))
+    // equal key: doc_id tiebreak decides, strictly-below-boundary admits
+    val (f2, _) = StreamTopK.foldSource(heap, Seq(RankedDoc("a", 5L, "bb")), 2)
+    assert(!f2.head.in_topk, "(bb,5) is not below boundary (bb,2)")
+    val (f3, _) = StreamTopK.foldSource(heap, Seq(RankedDoc("a", 0L, "bb")), 2)
+    assert(f3.head.in_topk, "(bb,0) is below boundary (bb,2)")
+  }
+
+  test("top-k heap survives checkpoint restart: eviction state carries (D7, RocksDB, s39)") {
+    graft.streaming.TwsDedup.withRocksDB(spark) {
+      val base = java.nio.file.Files.createTempDirectory("topk_restart_").toString
+      val inDir = s"$base/in"
+      val ckpt = s"$base/ckpt"
+      def writeDocs(rows: Seq[(String, Long, String)]): Unit =
+        rows.toDF("source", "doc_id", "key").coalesce(1)
+          .write.mode("append").parquet(inDir)
+      val sink = new graft.sink.ExactlyOnceSink(s"$base/out", Seq("doc_id"))
+      def startQuery() = {
+        val ranked = spark.readStream
+          .schema("source STRING, doc_id LONG, key STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir)
+          .as[RankedDoc]
+        StreamTopK.stage(ranked, k = 2).toDF()
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => sink.write(df, id))
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
+      writeDocs(Seq(("a", 1L, "aa"), ("a", 2L, "bb")))
+      val q1 = startQuery()
+      try q1.processAllAvailable()
+      finally q1.stop()
+      // after restart: doc 3 ("ab") must ADMIT-and-EVICT against the
+      // restored heap (aa,bb); doc 4 ("ba") then probes the
+      // post-eviction boundary "ab" and must be REJECTED — were the
+      // heap lost, both would be admitted into an empty heap
+      writeDocs(Seq(("a", 3L, "ab"), ("a", 4L, "ba")))
+      val q2 = startQuery()
+      try q2.processAllAvailable()
+      finally q2.stop()
+      val out = sink.readCommitted(spark)
+        .select(col("doc_id"), col("in_topk"))
+        .as[(Long, Boolean)].collect().sortBy(_._1)
+      assert(out.toSeq == Seq((1L, true), (2L, true), (3L, true), (4L, false)),
+        s"restored-heap admission profile mismatch: ${out.toSeq}")
+    }
+  }
+
   test("token-budget fold: doc_id order, inclusive prefix, budget cut (s34)") {
     val rows = Seq(DocTok("a", 3L, 4L), DocTok("a", 1L, 5L), DocTok("a", 2L, 2L))
     val (out, cum) = StreamTokenBudget.foldSource(0L, rows, budget = 10L)
