@@ -189,8 +189,10 @@ object PipelineMain {
           count(lit(1)).as("n"),
           sum(when(col("admitted"), 1L).otherwise(0L)).as("admitted"))
       val bad = perSource.filter(col("max_cum") =!= col("tot")).count()
+      // coalesce: SUM over zero committed rows (empty input) is NULL
       val (n, adm) = perSource
-        .agg(sum(col("n")), sum(col("admitted"))).as[(Long, Long)].head()
+        .agg(coalesce(sum(col("n")), lit(0L)),
+          coalesce(sum(col("admitted")), lit(0L))).as[(Long, Long)].head()
       s""","budget":{"rows":$n,"admitted":$adm,"prefix_conserved":${bad == 0L}}"""
     }.getOrElse("")
     println(s"""{"pipeline":"done","queries":$summary,"lineage":$reconcile$budgetJson}""")
