@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's standard local-session configuration, in ONE place —
+  * Bench, ScalingBench, Verify, Explain and RunOne all build from
+  * here, so a perf conf added for one harness cannot silently drift
+  * out of the others (the repo already retrofitted
+  * `objectHashAggregate.sortBased.fallbackThreshold` into every
+  * builder by hand once). The settings are the BENCH.md §0/§3
+  * hygiene set:
+  *
+  *  - `shuffle.partitions` = the worker-thread count (not 200)
+  *  - 256-row columnar reader batches (binary-payload tables OOM the
+  *    4096-row default on ~60 KB blobs)
+  *  - ObjectHashAggregate fallback threshold 65536 (ANN top-k: keep
+  *    thousands of query_id groups on the hash partial path)
+  *  - `InferFiltersFromGenerate` excluded engine-wide (13× on the
+  *    shingle explodes)
+  *  - UTC session time zone, AQE on, no UI
+  */
+object GraftSession {
+
+  def builder(master: String, partitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", partitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false")
+}

@@ -183,16 +183,20 @@ object PipelineMain {
     // max(cum_tokens) over committed rows equals the source's total
     // token count (admitted AND rejected audit rows both count)
     val budgetJson = r.sinks.get("budget").map { sink =>
-      val rows = sink.readCommitted(spark)
-      val perSource = rows.groupBy(col("source"))
+      // one aggregation over the committed table: per-source rollup is
+      // tiny (strata are few), so fold conservation + totals into a
+      // single job and finish driver-side. coalesce: SUM over zero
+      // committed rows (empty input) is NULL.
+      val (n, adm, bad) = sink.readCommitted(spark)
+        .groupBy(col("source"))
         .agg(max(col("cum_tokens")).as("max_cum"), sum(col("n_tok")).as("tot"),
           count(lit(1)).as("n"),
           sum(when(col("admitted"), 1L).otherwise(0L)).as("admitted"))
-      val bad = perSource.filter(col("max_cum") =!= col("tot")).count()
-      // coalesce: SUM over zero committed rows (empty input) is NULL
-      val (n, adm) = perSource
         .agg(coalesce(sum(col("n")), lit(0L)),
-          coalesce(sum(col("admitted")), lit(0L))).as[(Long, Long)].head()
+          coalesce(sum(col("admitted")), lit(0L)),
+          coalesce(sum(when(col("max_cum") =!= col("tot"), 1L).otherwise(0L)),
+            lit(0L)))
+        .as[(Long, Long, Long)].head()
       s""","budget":{"rows":$n,"admitted":$adm,"prefix_conserved":${bad == 0L}}"""
     }.getOrElse("")
     println(s"""{"pipeline":"done","queries":$summary,"lineage":$reconcile$budgetJson}""")
@@ -357,15 +361,18 @@ object PipelineMain {
     //      passes --token-budget; rows past the cut are still
     //      committed as rejected audit rows, never silently dropped.
     //      Requires --rocksdb (transformWithState). doc_id is
-    //      xxhash64(clip_id) — the Long key/order handle the budget
-    //      fold needs (collision odds at 2^64 are negligible).
+    //      xxhash64(clip_id, event_time) — the same per-OCCURRENCE
+    //      identity the dedup pipeline keys on: bare clip_id repeats
+    //      in the stream, and tied doc_ids would leave the fold's
+    //      in-batch order (hence cum_tokens attribution and the
+    //      sink's byte-identical replay) shuffle-order-dependent.
     val q7 = if (!enabled.contains("budget")) None else Some {
       val budgetSink = new ExactlyOnceSink(s"$output/budget", Seq("doc_id"))
       sinks += ("budget" -> budgetSink)
       val budget = opt.getOrElse("token-budget", "100000").toLong
       val docs = clipStream()
         .select(col("codec").as("source"),
-          xxhash64(col("clip_id")).as("doc_id"),
+          xxhash64(col("clip_id"), col("event_time")).as("doc_id"),
           col("transcript").as("text"))
       graft.streaming.StreamTokenBudget
         .stage(graft.streaming.StreamTokenBudget.docTokens(docs), budget)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * [sfDir] [reps]` times one registered query under the exact Bench
   * session configuration and prints its formatted physical plan —
   * the plan-iteration loop (`.explain` until it's the plan you'd
-  * want) without paying for the whole 117-query suite.
+  * want) without paying for the whole query suite.
   */
 object RunOne {
 
@@ -16,17 +16,7 @@ object RunOne {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.sql.parquet.columnarReaderBatchSize", "256")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     println(s"=== $name @ $sfDir ===")

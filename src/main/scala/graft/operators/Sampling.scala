@@ -30,12 +30,19 @@ final case class SampledDoc(doc_id: Long, rn: Long)
   *
   * Each map-side partial keeps at most `2·quota` candidates (compacted
   * back to `quota` on overflow), so the exchange carries
-  * ≤ 2·quota·nPartitions rows per stratum instead of the stratum.
-  * `quota` rides on the input rows (joined on beforehand from the
-  * stratum counts), which is what lets one aggregator instance serve
-  * every stratum with its own k. Ordering matches the window it
-  * replaces AND the DuckDB oracle: md5 key ASC (hex strings — both
-  * engines compare them bytewise), doc_id ASC tiebreak.
+  * ≤ 2·quota·nPartitions rows per stratum instead of the stratum, and
+  * the final merge holds ≤ 2·quota. `quota` rides on the input rows
+  * (joined on beforehand from the stratum counts), which is what lets
+  * one aggregator instance serve every stratum with its own k.
+  *
+  * The bound is only a bound if the CALLER bounds the quota: an
+  * uncapped proportional quota (e.g. ceil(n/5) of a billion-row
+  * stratum) degenerates to the window this replaces — ~n/5 candidates
+  * on the final-merge task. Real mixing runs keep a fixed count per
+  * stratum; q70 models that with `least(ceil(n/5), 64)`. Ordering
+  * matches the window it replaces AND the DuckDB oracle: md5 key ASC
+  * (hex strings — both engines compare them bytewise), doc_id ASC
+  * tiebreak.
   */
 final class QuotaSample
     extends Aggregator[SampleCand, ArrayBuffer[SampleCand], Seq[SampledDoc]] {

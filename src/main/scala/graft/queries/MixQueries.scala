@@ -132,19 +132,25 @@ object MixQueries {
               |ORDER BY doc_id""".stripMargin)),
 
     // ------------- q70 exact per-stratum quota sampling (data mixing)
-    // Keep exactly ceil(n/5) docs per language, chosen as the quota
-    // smallest md5 rank keys. The rank is computed by [[QuotaSample]],
-    // a k-bounded aggregator with a per-stratum (data-dependent) k —
-    // NOT row_number over a per-language window, whose single task
-    // would hold the whole language at corpus scale. The quota join is
-    // a broadcast (strata are few by construction).
+    // Keep ceil(n/5) docs per language CAPPED AT 64, chosen as the
+    // quota smallest md5 rank keys. The rank is computed by
+    // [[QuotaSample]], a k-bounded aggregator with a per-stratum
+    // (data-dependent) k — NOT row_number over a per-language window,
+    // whose single task would hold the whole language at corpus
+    // scale. The cap is what makes that claim TRUE at corpus scale:
+    // an uncapped proportional quota (ceil(n/5) of a billion-row
+    // stratum) would put ~n/5 candidates back on the final-merge task
+    // — a real mixing run keeps a FIXED number of docs per stratum,
+    // and the cap models that. The quota join is a broadcast (strata
+    // are few by construction).
     QueryDef(
       "q70_sample_quota",
       (s, d) => {
         val docs = t(s, d, "documents")
         val quotas = docs.groupBy(col("lang"))
           .agg(count(lit(1)).as("cnt"))
-          .select(col("lang"), expr("CAST((cnt + 4) div 5 AS INT)").as("quota"))
+          .select(col("lang"),
+            least(expr("CAST((cnt + 4) div 5 AS INT)"), lit(64)).as("quota"))
         val keyed = docs
           .join(broadcast(quotas), "lang")
           .select(col("lang"), col("doc_id"),
@@ -165,7 +171,7 @@ object MixQueries {
              |    COUNT(*) OVER (PARTITION BY lang) AS cnt
              |  FROM documents)
              |SELECT lang, doc_id, rn FROM r
-             |WHERE rn <= (cnt + 4) // 5
+             |WHERE rn <= least((cnt + 4) // 5, 64)
              |ORDER BY lang, doc_id""".stripMargin)),
 
     // --------------- q71 token-stream sequence packing (pretraining)
@@ -181,13 +187,9 @@ object MixQueries {
     QueryDef(
       "q71_seq_pack",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val base = docs
-          .select(col("source"), col("doc_id"),
-            normalizeTranscript(col("text")).as("__norm"))
-          .filter(length(col("__norm")) > 0)
-          .select(col("source"), col("doc_id"),
-            size(split(col("__norm"), " ")).cast("long").as("n_tok"))
+        // token counting byte-shared with the streaming twins s34–s37
+        val base = graft.streaming.StreamTokenBudget
+          .docTokens(t(s, d, "documents")).toDF()
         val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         packSpans(base
           .withColumn("tok_end", sum(col("n_tok")).over(w))
@@ -320,15 +322,12 @@ object MixQueries {
     QueryDef(
       "q74_mix_weights",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val base = docs
-          .select(col("source"), col("doc_id"),
-            normalizeTranscript(col("text")).as("__norm"))
-          .filter(length(col("__norm")) > 0)
-          .select(col("source"), col("doc_id"),
-            size(split(col("__norm"), " ")).cast("long").as("n_tok"),
+        // token counting byte-shared with q71 and the streaming twins
+        val base = graft.streaming.StreamTokenBudget
+          .docTokens(t(s, d, "documents")).toDF()
+          .withColumn("u16",
             conv(substring(md5(concat(lit("mx:"), col("doc_id").cast("string"))), 1, 4),
-              16, 10).cast("long").as("u16"))
+              16, 10).cast("long"))
         val bySrc = base.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("src_tokens"))
         val tot = bySrc.agg(

@@ -347,12 +347,15 @@ class OperatorsSpec extends AnyFunSuite {
     // reference: full sort by (key, id), take quota
     val expect = cands.sortBy(c => (c.key, c.doc_id)).take((n + 4) / 5)
       .zipWithIndex.map { case (c, i) => SampledDoc(c.doc_id, i + 1L) }
-    // aggregator over shuffled partials (3 partitions merged out of order)
-    val agg = new QuotaSample
-    val parts = scala.util.Random.shuffle(cands.toVector).grouped(33)
-      .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
-    val got = agg.finish(parts.reduce(agg.merge))
-    assert(got == expect)
+    // aggregator over shuffled partials (3 partitions merged out of
+    // order); fixed seed so a merge-order-dependent failure replays
+    val got = (1 to 5).map { seed =>
+      val agg = new QuotaSample
+      val parts = new scala.util.Random(seed).shuffle(cands.toVector)
+        .grouped(33).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      agg.finish(parts.reduce(agg.merge))
+    }
+    got.foreach(g => assert(g == expect))
   }
 
   test("q71 packing conserves tokens and never overflows the pack budget") {
