@@ -12,7 +12,8 @@ object Explain {
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q02_filter_project", "q03_join_agg", "q15_range_join",
-        "q16_asof_join", "q41_salted_rollup", "q31_minhash_pairs")
+        "q16_asof_join", "q41_salted_rollup", "q31_minhash_pairs",
+        "q70_sample_quota", "q73_decontam")
     val spark = GraftSession.builder("local[4]", "4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
