@@ -66,13 +66,14 @@ object MixQueries {
       .orderBy(col("source"), col("pack_id"), col("doc_id"))
   }
 
-  /** Oracle CTE suffix (prefix sum → span explode → final SELECT)
-    * over a relation `base`(source, doc_id, n_tok), parameterized by
-    * the engine's per-source processing order — `doc_id` for batch
-    * and single-batch streams, `(doc_id % 3, doc_id)` for the
-    * 3-batch schedule. One oracle for q71/q75/s36/s37.
+  /** Oracle CTE chain (prefix sum → span explode) over a relation
+    * `base`(source, doc_id, n_tok), parameterized by the engine's
+    * per-source processing order — `doc_id` for batch and
+    * single-batch streams, `(doc_id % 3, doc_id)` for the 3-batch
+    * schedule. Final relation `spans`(source, pack_id, doc_id,
+    * tok_from, n_toks). Shared by q71/q75/q76/s36/s37.
     */
-  private def packSqlFrom(order: String): String =
+  private def packCtes(order: String): String =
     s"""sp AS (
        |  SELECT source, doc_id, n_tok,
        |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY $order) AS BIGINT)
@@ -82,12 +83,19 @@ object MixQueries {
        |  SELECT source, doc_id, tok_end - n_tok AS tok_start, tok_end,
        |    unnest(generate_series((tok_end - n_tok) // $PackTokens,
        |                           (tok_end - 1) // $PackTokens)) AS pack_id
-       |  FROM sp)
-       |SELECT source, pack_id, doc_id,
-       |  greatest(tok_start, pack_id * $PackTokens) - tok_start AS tok_from,
-       |  least(tok_end, (pack_id + 1) * $PackTokens)
-       |    - greatest(tok_start, pack_id * $PackTokens) AS n_toks
-       |FROM ex ORDER BY source, pack_id, doc_id""".stripMargin
+       |  FROM sp),
+       |spans AS (
+       |  SELECT source, pack_id, doc_id,
+       |    greatest(tok_start, pack_id * $PackTokens) - tok_start AS tok_from,
+       |    least(tok_end, (pack_id + 1) * $PackTokens)
+       |      - greatest(tok_start, pack_id * $PackTokens) AS n_toks
+       |  FROM ex)""".stripMargin
+
+  private val spansSelect =
+    "\nSELECT source, pack_id, doc_id, tok_from, n_toks\nFROM spans ORDER BY source, pack_id, doc_id"
+
+  private def packSqlFrom(order: String): String =
+    packCtes(order) + spansSelect
 
   /** Tokenized `base` CTE over the raw documents table. */
   private lazy val docsBaseCte: String =
@@ -102,6 +110,16 @@ object MixQueries {
     */
   private lazy val seqPackSql: String =
     "WITH " + docsBaseCte + ",\n" + packSqlFrom("doc_id")
+
+  /** Shared sampling oracle: q69 (batch) ≡ s40 (stream). */
+  private lazy val sampleHashSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    ${md5U16Sql("'smp:' || CAST(doc_id AS VARCHAR)")} AS u16
+       |  FROM documents)
+       |SELECT doc_id, lang, u16 FROM h
+       |WHERE u16 < CASE WHEN lang = 'en' THEN 32768 ELSE 16384 END
+       |ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     // ----------- q69 hash-threshold stratified sampling (data mixing)
@@ -123,13 +141,7 @@ object MixQueries {
           .select(col("doc_id"), col("lang"), col("u16"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH h AS (
-              |  SELECT doc_id, lang,
-              |    ${md5U16Sql("'smp:' || CAST(doc_id AS VARCHAR)")} AS u16
-              |  FROM documents)
-              |SELECT doc_id, lang, u16 FROM h
-              |WHERE u16 < CASE WHEN lang = 'en' THEN 32768 ELSE 16384 END
-              |ORDER BY doc_id""".stripMargin)),
+      Some(sampleHashSql)),
 
     // ------------- q70 exact per-stratum quota sampling (data mixing)
     // Keep ceil(n/5) docs per language CAPPED AT 64, chosen as the
@@ -606,7 +618,85 @@ object MixQueries {
         }
       },
       Some(topkSql(
-        "(b.doc_id % 3 < a.doc_id % 3 OR (b.doc_id % 3 = a.doc_id % 3 AND b.doc_id < a.doc_id))")))
+        "(b.doc_id % 3 < a.doc_id % 3 OR (b.doc_id % 3 = a.doc_id % 3 AND b.doc_id < a.doc_id))"))),
+
+    // ------------ s40 streaming stratified sampling (ingest q69 twin)
+    // The hash-threshold sample at ingest: the keep decision is a pure
+    // function of the row, so the streaming form is STATELESS — no
+    // state store, no watermark, schedule-independent append — and
+    // shares q69's oracle verbatim (the s21≡s22 twin discipline).
+    // This pins the property that matters at 10^12 rows: sampling
+    // needs no coordination, so it costs the same at ingest as in
+    // batch, on any cluster shape.
+    QueryDef(
+      "s40_stream_sample_hash",
+      (s, d) => {
+        graft.streaming.StreamRunner
+          .assertSingleBatchInput(s"$d/documents.parquet")
+        val stream = graft.streaming.StreamRunner.parquetStream(
+          s, s"$d/documents.parquet", graft.model.Schemas.documents)
+        val kept = stream
+          .withColumn("u16",
+            conv(substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 4),
+              16, 10).cast("long"))
+          .filter(col("u16") <
+            when(col("lang") === "en", lit(32768L)).otherwise(lit(16384L)))
+          .select(col("doc_id"), col("lang"), col("u16"))
+        graft.streaming.StreamRunner.runToMemory(kept, "append")
+          .orderBy(col("doc_id"))
+      },
+      Some(sampleHashSql)),
+
+    // ------- q76 deterministic shuffle-shard assignment (train order)
+    // The last mixing stage: training-order randomization. Each q71
+    // pack gets a deterministic md5 shuffle key; the first hex digit
+    // assigns one of 16 shuffle SHARDS (md5 uniformity balances them),
+    // and the position within a shard is a window partitioned BY
+    // SHARD — never a global row_number, whose single sorting task is
+    // the classic driver-shaped bottleneck; at 100 TB you widen to
+    // more hex digits and each shard is one output file. The shard
+    // assignment rides the scan; the only exchange is the 16-way
+    // partitioned rank.
+    QueryDef(
+      "q76_shuffle_shards",
+      (s, d) => {
+        val base = graft.streaming.StreamTokenBudget
+          .docTokens(t(s, d, "documents")).toDF()
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val packs = packSpans(base
+          .withColumn("tok_end", sum(col("n_tok")).over(w))
+          .withColumn("tok_start", col("tok_end") - col("n_tok")))
+          .groupBy(col("source"), col("pack_id"))
+          .agg(sum(col("n_toks")).as("pack_tokens"))
+          .withColumn("skey",
+            md5(concat(lit("sh:"), col("source"), lit(":"),
+              col("pack_id").cast("string"))))
+          .withColumn("shard",
+            conv(substring(col("skey"), 1, 1), 16, 10).cast("int"))
+        val ws = Window.partitionBy(col("shard"))
+          .orderBy(col("skey"), col("source"), col("pack_id"))
+        packs
+          .select(col("shard"),
+            row_number().over(ws).cast("long").as("pos"),
+            col("source"), col("pack_id"), col("pack_tokens"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some("WITH " + docsBaseCte + ",\n" + packCtes("doc_id") + ",\n" +
+        """pk AS (
+          |  SELECT source, pack_id, CAST(SUM(n_toks) AS BIGINT) AS pack_tokens
+          |  FROM spans GROUP BY 1, 2),
+          |sk AS (
+          |  SELECT *, md5('sh:' || source || ':' || CAST(pack_id AS VARCHAR)) AS skey
+          |  FROM pk),
+          |sh AS (
+          |  SELECT *, CAST(strpos('0123456789abcdef', substr(skey, 1, 1)) - 1 AS INT)
+          |    AS shard
+          |  FROM sk)
+          |SELECT shard,
+          |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, source, pack_id)
+          |    AS pos,
+          |  source, pack_id, pack_tokens
+          |FROM sh ORDER BY shard, pos""".stripMargin))
   )
 
   /** One prefix-rank oracle for both top-k queries, parameterized only
