@@ -154,15 +154,93 @@ object ScalingBench {
     */
   private[graft] val MaxExternalCpu = 0.15
 
+  // ---- fresh-JVM isolation (round-5 verdict #1) --------------------------
+  //
+  // Every measured unit (each lo/hi pair, each ceiling probe) runs in a
+  // freshly forked child JVM. Three independent round-5 measurements showed
+  // systematic SAME-JVM cross-pass degradation: pass 1 read 0.86–1.00
+  // normalized, pass 2 ~0.66 (sec_hi 7.3 s → 9.4–11.8 s while sec_lo stayed
+  // flat, external CPU ≈ 0) — accumulated heap/metaspace/code-cache debt
+  // taxes the 24-thread leg disproportionately — and the suite-embedded run
+  // inherited 2×121 query executions' GC debt (timed legs 4–25× standalone,
+  // headline_valid:false). A child JVM per measurement gives every pair
+  // first-pass conditions; the parent only orchestrates and samples
+  // /proc/stat around the child for the external-CPU guard.
+
+  /** Command line for a child measurement JVM: same java binary, same JVM
+    * args (add-opens, -Xmx, -D props) and same classpath as this process —
+    * `run / fork := true`, so this IS a plain JVM whose properties carry
+    * the full picture. Debug agents are stripped (a child inheriting a
+    * debugger port would fail to bind).
+    */
+  private def childJvmCmd(mainArgs: Seq[String]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths
+      .get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    (javaBin +: jvmArgs) ++ Seq("-cp", sys.props("java.class.path"),
+      "graft.ScalingBench") ++ mainArgs
+  }
+
+  /** Fork one measurement child and parse its single
+    * `CHILD_RESULT {"k":v,...}` stdout line (flat numeric JSON). stderr
+    * passes through for progress visibility. Returns None when the fork
+    * fails or emits no result line — callers fall back to the in-process
+    * measurement and record the isolation mode in the artifact.
+    */
+  private[graft] def forkChild(mainArgs: Seq[String]): Option[Map[String, Double]] =
+    try {
+      val pb = new ProcessBuilder(childJvmCmd(mainArgs): _*)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val rc = p.waitFor()
+      val line = out.linesIterator
+        .find(_.startsWith("CHILD_RESULT ")).map(_.stripPrefix("CHILD_RESULT "))
+      if (rc != 0 || line.isEmpty) {
+        System.err.println(s"[scaling] child JVM failed (rc=$rc) — falling back in-process")
+        None
+      } else {
+        val kv = """"([a-z_]+)":(-?[0-9.eE+]+)""".r
+        Some(kv.findAllMatchIn(line.get)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[scaling] child JVM fork failed: ${e.getMessage} — falling back in-process")
+        None
+    }
+
+  /** True once a fork has failed — fall back to in-process for the rest
+    * of the run (a broken classpath will not heal mid-run) and record it.
+    */
+  @volatile private[graft] var forkUnavailable = false
+
   private[graft] def measurePair(lo: Int, hi: Int, sfDir: String,
       workScale: Int): PairMeas = {
     val (t0, i0) = hostJiffies()
     val s0 = selfJiffies()
-    val (l, h) = runPair(lo, hi, sfDir, workScale)
+    val forked =
+      if (forkUnavailable) None
+      else forkChild(Seq("child-pair", lo.toString, hi.toString, sfDir,
+        workScale.toString))
+    val (l, h) = forked match {
+      case Some(m) => (m("t_lo"), m("t_hi"))
+      case None =>
+        forkUnavailable = true
+        runPair(lo, hi, sfDir, workScale)
+    }
     val (t1, i1) = hostJiffies()
     val s1 = selfJiffies()
     val total = math.max(1L, t1 - t0)
     val busy = total - (i1 - i0)
+    // external CPU = host busy minus this JVM's own work. selfJiffies
+    // includes cutime/cstime, which absorb the reaped measurement
+    // child's CPU after waitFor — so the forked path needs no separate
+    // child term (and adding one would double-subtract).
     val ext = math.max(0L, busy - (s1 - s0)).toDouble / total
     val ratio = (l / h) / (hi.toDouble / lo)
     val reasons = Seq(
@@ -290,11 +368,27 @@ object ScalingBench {
     * inflates normalized efficiency, the round-2 artifact failure).
     * Returns (raw ceiling, tries, valid).
     */
+  /** [[machineCeiling]] in a fresh child JVM (same isolation rationale
+    * as the pairs: a ceiling probed in a heap-debted JVM under-reads
+    * the machine and inflates the normalized headline).
+    */
+  private def machineCeilingIsolated(lo: Int, hi: Int): Double = {
+    val forked =
+      if (forkUnavailable) None
+      else forkChild(Seq("child-ceiling", lo.toString, hi.toString))
+    forked match {
+      case Some(m) => m("ceiling")
+      case None =>
+        forkUnavailable = true
+        machineCeiling(lo, hi)
+    }
+  }
+
   private def measureCeiling(lo: Int, hi: Int, maxTries: Int = 3): (Double, Int, Boolean) = {
     var tries = 0
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
     while (tries < maxTries && !probes.lastOption.exists(ceilingPlausible)) {
-      val c = machineCeiling(lo, hi)
+      val c = machineCeilingIsolated(lo, hi)
       probes += c
       tries += 1
       if (!ceilingPlausible(c)) System.err.println(
@@ -350,6 +444,34 @@ object ScalingBench {
     */
   private[graft] val MaxPassDispersion = 1.5
 
+  /** Valid passes whose RAW headlines disagree by more than this
+    * (max/min) were not measured under comparable conditions — one of
+    * them is degraded. Round 5 showed exactly this shape (pass 1
+    * 0.86–1.00 normalized, pass 2 ~0.66 from same-JVM debt) and the
+    * median-valid-pass rule then reported the degraded pass. With
+    * per-measurement fresh-JVM isolation the spread should be small;
+    * this guard rejects the residual case: extra passes are run
+    * (bounded) until `passes` mutually consistent valid passes exist,
+    * and the headline is the median of the largest consistent subset —
+    * a lone degraded pass is excluded, never median-ed.
+    */
+  private[graft] val MaxCrossPassSpread = 1.25
+
+  /** Largest subset of `vs` whose raw values lie within a
+    * [[MaxCrossPassSpread]] band (contiguous after sorting by raw —
+    * any within-band subset is a sorted window). Ties prefer the
+    * LOWER window: the conservative choice on a noisy host.
+    */
+  private[graft] def consistentSubset[A](vs: Seq[A], raw: A => Double): Seq[A] = {
+    if (vs.size <= 1) vs
+    else {
+      val sorted = vs.sortBy(raw)
+      sorted.indices.map { i =>
+        sorted.drop(i).takeWhile(p => raw(p) <= raw(sorted(i)) * MaxCrossPassSpread)
+      }.maxBy(_.size) // maxBy keeps the FIRST (lowest) largest window
+    }
+  }
+
   def scalingEvidence(sfDir: String, lo: Int = 6, hi: Int = 24,
       reps: Int = 3, workScale: Int = 6, passes: Int = 2): String = {
     final case class Pass(ceilRaw: Double, ceilTries: Int, ceilValid: Boolean,
@@ -401,21 +523,38 @@ object ScalingBench {
       Pass(c, tries, ok, measured.map(_._1), measured.flatMap(_._2))
     }
     val ps = scala.collection.mutable.ArrayBuffer.empty[Pass]
-    while (ps.size < maxPassRuns && ps.count(_.valid) < passes &&
+    // the loop chases `passes` valid passes that are also mutually
+    // CONSISTENT (raw max/min ≤ MaxCrossPassSpread): a valid-but-
+    // degraded pass (the round-5 pass-2 shape) triggers a bounded
+    // re-run instead of entering the median
+    def consistentValid: Seq[Pass] =
+      consistentSubset(ps.filter(_.valid).toSeq, (p: Pass) => p.raw)
+    while (ps.size < maxPassRuns && consistentValid.size < passes &&
         pairBudget.get() >= reps) {
       val p = runPass()
       ps += p
       if (!p.valid) System.err.println(
         f"[scaling] pass ${ps.size} invalid (ceiling=${p.ceilValid}, pairs=${p.pairsValid}, dispersion=${p.dispersion}%.2f≤$MaxPassDispersion) — contended window" +
           (if (ps.size < maxPassRuns && pairBudget.get() >= reps) ", re-running" else ""))
+      else if (consistentValid.size < ps.count(_.valid)) System.err.println(
+        f"[scaling] pass ${ps.size}: valid passes disagree beyond $MaxCrossPassSpread× — degraded pass suspected" +
+          (if (ps.size < maxPassRuns && pairBudget.get() >= reps) ", re-running" else ""))
     }
-    // headline = MEDIAN raw efficiency among valid passes (lower-middle
-    // for even counts — with 2 valid passes this is the LOWER one, the
-    // conservative choice; best-of-N selection on a noisy host biases
-    // upward). Falls open to all passes only if every pass on the box
-    // was invalid — then the `valid` flags in `attempts` show the gate
-    // was not met under trustworthy conditions.
-    val pool = { val v = ps.filter(_.valid).toSeq; if (v.nonEmpty) v else ps.toSeq }
+    // headline = MEDIAN raw efficiency of the largest mutually consistent
+    // subset of valid passes (lower-middle for even counts — with 2
+    // consistent passes this is the LOWER one, the conservative choice;
+    // best-of-N selection on a noisy host biases upward). A valid pass
+    // outside the consistent subset is a degraded measurement and is
+    // EXCLUDED, with `cross_pass_consistent:false` unless `passes`
+    // consistent ones remain. Falls open to all passes only if every
+    // pass on the box was invalid — then the `valid` flags in `attempts`
+    // show the gate was not met under trustworthy conditions.
+    val validPs = ps.filter(_.valid).toSeq
+    val pool = if (validPs.nonEmpty) consistentValid else ps.toSeq
+    val crossOk = consistentValid.size >= passes
+    val crossSpread =
+      if (validPs.size <= 1) 1.0
+      else validPs.map(_.raw).max / math.max(1e-9, validPs.map(_.raw).min)
     val best = pool.sortBy(_.raw).apply((pool.size - 1) / 2)
     val attempts = ps.map { p =>
       val prs = p.ratios.map(r => f"$r%.3f").mkString("[", ",", "]")
@@ -429,7 +568,8 @@ object ScalingBench {
       val disp = if (java.lang.Double.isFinite(p.dispersion)) p.dispersion else 999.999
       f"""{"raw":${p.raw}%.3f,"ceiling":${p.ceil}%.3f,"ceiling_raw":${p.ceilRaw}%.3f,"ceiling_probe_tries":${p.ceilTries},"ceiling_valid":${p.ceilValid},"pairs_valid":${p.pairsValid},"dispersion":$disp%.3f,"dispersion_valid":${p.dispersionValid},"valid":${p.valid},"normalized":${p.norm}%.3f,"sec_lo":${p.tLo}%.2f,"sec_hi":${p.tHi}%.2f,"pair_ratios":$prs,"pair_ext_cpu":$ext,"rejected_pairs":$rej}"""
     }.mkString("[", ",", "]")
-    f"""{"cpus_lo":$lo,"cpus_hi":$hi,"work_scale":$workScale,"reps":$reps,"headline_rule":"median_valid_pass","sec_lo":${best.tLo}%.2f,"sec_hi":${best.tHi}%.2f,"raw_efficiency":${best.raw}%.3f,"machine_cpu_ceiling":${best.ceil}%.3f,"machine_cpu_ceiling_raw":${best.ceilRaw}%.3f,"normalized_efficiency":${best.norm}%.3f,"headline_valid":${best.valid},"attempts":$attempts}"""
+    val isolation = if (forkUnavailable) "in-process" else "fork"
+    f"""{"cpus_lo":$lo,"cpus_hi":$hi,"work_scale":$workScale,"reps":$reps,"headline_rule":"median_consistent_valid_pass","isolation":"$isolation","sec_lo":${best.tLo}%.2f,"sec_hi":${best.tHi}%.2f,"raw_efficiency":${best.raw}%.3f,"machine_cpu_ceiling":${best.ceil}%.3f,"machine_cpu_ceiling_raw":${best.ceilRaw}%.3f,"normalized_efficiency":${best.norm}%.3f,"cross_pass_spread":$crossSpread%.3f,"cross_pass_consistent":$crossOk,"headline_valid":${best.valid && crossOk},"attempts":$attempts}"""
   }
 
   /** Nearest-rank p99: index ceil(0.99·n) − 1 ((n·0.99).toInt would
@@ -440,6 +580,22 @@ object ScalingBench {
     else xs.sorted.apply(math.max(0, math.ceil(xs.size * 0.99).toInt - 1))
 
   def main(args: Array[String]): Unit = {
+    // child measurement modes (fresh-JVM isolation): run ONE unit of
+    // measured work in this pristine JVM and print a single
+    // `CHILD_RESULT {...}` line for the orchestrating parent.
+    args.headOption match {
+      case Some("child-pair") =>
+        val Seq(lo, hi, sfDir, workScale) = args.toSeq.slice(1, 5)
+        val (l, h) = runPair(lo.toInt, hi.toInt, sfDir, workScale.toInt)
+        println(f"""CHILD_RESULT {"t_lo":$l%.4f,"t_hi":$h%.4f,"self_jiffies":${selfJiffies()}}""")
+        return
+      case Some("child-ceiling") =>
+        val Seq(lo, hi) = args.toSeq.slice(1, 3)
+        val c = machineCeiling(lo.toInt, hi.toInt)
+        println(f"""CHILD_RESULT {"ceiling":$c%.4f,"self_jiffies":${selfJiffies()}}""")
+        return
+      case _ => ()
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val lo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "6").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS_HI", "24").toInt

@@ -79,6 +79,11 @@ object ClipQueries {
           .select(col("clip_id"), col("out_id"), col("codec"),
             col("pcm.n_samples").as("n_samples"),
             col("transcript_norm"), col("n_tokens"))
+          // as in p01: the global sort's range-partitioner sampling pass
+          // would otherwise re-run the full decode (the decode executed
+          // TWICE per invocation — sample + sort; observed 21.9 s vs
+          // p01's 2.1 s in the round-5 bench under GC pressure)
+          .localCheckpoint(true)
           .orderBy(col("out_id"), col("clip_id"))
       },
       Some {
