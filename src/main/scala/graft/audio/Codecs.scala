@@ -129,6 +129,17 @@ object Codecs {
     out
   }
 
+  // ------------------------------------------------ G.711 decode tables
+  // 256-entry lookup twins of the arithmetic decoders, built FROM them
+  // so bit-identity holds by construction: the per-sample hot loops
+  // (summarize, frameEnergies, foreachPcm) replace ~10 bit ops + a call
+  // with one L1 load per byte. The arithmetic forms stay the public
+  // API — q56's oracle and CodecsSpec pin them against independent SQL.
+  private final val UlawTable: Array[Short] =
+    Array.tabulate(256)(i => ulawDecodeSample(i.toByte))
+  private final val AlawTable: Array[Short] =
+    Array.tabulate(256)(i => alawDecodeSample(i.toByte))
+
   // ------------------------------------------------------------- IMA ADPCM
 
   private final val StepTable: Array[Int] = Array(
@@ -311,10 +322,10 @@ object Codecs {
           }
         case "ulaw" =>
           var i = 0
-          while (i < bytes.length) { acc(ulawDecodeSample(bytes(i)).toInt); i += 1 }
+          while (i < bytes.length) { acc(UlawTable(bytes(i) & 0xff).toInt); i += 1 }
         case "alaw" =>
           var i = 0
-          while (i < bytes.length) { acc(alawDecodeSample(bytes(i)).toInt); i += 1 }
+          while (i < bytes.length) { acc(AlawTable(bytes(i) & 0xff).toInt); i += 1 }
         case "adpcm" =>
           var (predictor, index, total) = adpcmHeader(bytes)
           var i = 0
@@ -380,11 +391,11 @@ object Codecs {
         case "ulaw" =>
           alloc(bytes.length)
           var i = 0
-          while (i < bytes.length) { acc(ulawDecodeSample(bytes(i)).toInt); i += 1 }
+          while (i < bytes.length) { acc(UlawTable(bytes(i) & 0xff).toInt); i += 1 }
         case "alaw" =>
           alloc(bytes.length)
           var i = 0
-          while (i < bytes.length) { acc(alawDecodeSample(bytes(i)).toInt); i += 1 }
+          while (i < bytes.length) { acc(AlawTable(bytes(i) & 0xff).toInt); i += 1 }
         case "adpcm" =>
           var (predictor, index, total) = adpcmHeader(bytes)
           alloc(total)
@@ -436,11 +447,11 @@ object Codecs {
         case "ulaw" =>
           n = bytes.length
           var i = 0
-          while (i < n) { f(ulawDecodeSample(bytes(i)).toInt); i += 1 }
+          while (i < n) { f(UlawTable(bytes(i) & 0xff).toInt); i += 1 }
         case "alaw" =>
           n = bytes.length
           var i = 0
-          while (i < n) { f(alawDecodeSample(bytes(i)).toInt); i += 1 }
+          while (i < n) { f(AlawTable(bytes(i) & 0xff).toInt); i += 1 }
         case "adpcm" =>
           var (predictor, index, total) = adpcmHeader(bytes)
           n = total

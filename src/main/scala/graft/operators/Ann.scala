@@ -239,7 +239,13 @@ object Ann {
   def embedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 16, bands: Int = 4, threshold: Double = 0.2,
       dim: Int = 64): DataFrame = {
+    // the band keys feed both self-join sides — materialize the (id,
+    // band, band_val) proxy rows once instead of re-computing the
+    // nBits×dim hyperplane dot products per side (the minhashLshPairs
+    // barrier rationale; at cluster scale this intermediate is the
+    // "fingerprints only" table of guide §8.4)
     val keys = lshBandKeys(emb, idCol, vecCol, nBits, bands, dim)
+      .localCheckpoint(true)
     val a = keys.select(col("band"), col("band_val"), col(idCol).as("id_a"))
     val b = keys.select(col("band"), col("band_val"), col(idCol).as("id_b"))
     val cand = a.join(b, Seq("band", "band_val"))

@@ -64,6 +64,16 @@ object Dedup {
       threshold: Double = 0.5, maxBucketSize: Int = 64): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k)
       .withColumn("band_keys", lshBandKeys(col("sig"), bands, k / bands))
+      // the signature rows feed THREE plan branches (the oversized-
+      // bucket blacklist aggregate and both self-join sides); without a
+      // materialization barrier each branch re-runs the full
+      // tokenize→shingle→minhash chain over every document (measured
+      // ~2× on q31). The rows are the lightweight proxy (id + k digests
+      // + band keys, no document text) — at cluster scale this is the
+      // standard "fingerprints only" intermediate of a dedup pass
+      // (optimization guide §8.4), written to reliable storage there;
+      // localCheckpoint is its single-JVM equivalent.
+      .localCheckpoint(true)
     val exploded = sigs
       .select(col(idCol), col("sig"), explode(col("band_keys")).as("band_key"))
     // skew guard: drop degenerate buckets via a broadcast anti-join
@@ -185,6 +195,16 @@ object Dedup {
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
 
+    // Round-shape note (round-6 optimization pass): two restructurings
+    // were tried and MEASURED WORSE, so the original shape stands —
+    // (a) sharing one explicit repartition(u) between the min aggregate
+    // and the join (3.3 s → 5.8 s on the 914k-edge q61 graph: the
+    // repartition shuffles the full symmetric edge set and defeats the
+    // map-side partial aggregation that makes `mins` cheap), and
+    // (b) deferring largeStar's terminal distinct to smallStar
+    // (3.3 s → 5.4 s: a k-clique's largeStar emits each (m, v) k
+    // times, so the dedup is load-bearing for throughput).
+
     // large-star: every neighbor v > u of center u is rewired to
     // m = min(Γ(u) ∪ {u}); connectivity-preserving, shrinks tall nodes
     def largeStar(e: DataFrame): DataFrame = {
@@ -236,7 +256,11 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, useNative: Boolean = true): DataFrame = {
+    // (id, 32-bit hash) feeds both self-join sides — materialize the
+    // tiny proxy rows once instead of re-running tokenize+simhash per
+    // side (same rationale as the minhashLshPairs barrier)
     val hashed = simhashDocs(docs, idCol, textCol, useNative)
+      .localCheckpoint(true)
     val banded = hashed.select(
       col(idCol), col("simhash"),
       explode(array((0 until 4).map { b =>

@@ -31,9 +31,17 @@ object CurationQueries {
     val gated = scored
       .filter(col("n_tokens") >= 20 && col("n_tokens") <= 95)
       .filter(col("lang").isin("en", "de", "es"))
+      // gated rows feed the exact-dedup aggregate AND the keeper join;
+      // exact rows feed the pair derivation AND the final anti-join —
+      // without barriers each consumer re-runs the quality-struct scan
+      // (and the dedup agg) from scratch. Both are the kept-docs proxy
+      // rows; a cluster run would persist these stage outputs the same
+      // way (guide §5 reuse rule).
+      .localCheckpoint(true)
     val keepers = Dedup.exactDedup(gated, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"))
     val exact = gated.join(keepers, "doc_id")
+      .localCheckpoint(true)
     val pairs = Dedup.minhashLshPairs(exact, "doc_id", "text",
         shingleN = 3, k = 8, bands = 4, threshold = 0.5, maxBucketSize = 64)
       .select(col("id_a"), col("id_b"))

@@ -136,10 +136,15 @@ object DedupQueries {
     QueryDef(
       "q30_minhash_sig",
       (s, d) => {
-        val sig = Dedup.minhashSignatures(docs(s, d), "doc_id", "text", 3, 8)
+        // sort-before-project (the q24 pattern): sort the base table on
+        // doc_id, derive the signatures after the exchange — the range
+        // sampling pass re-reads only the scan instead of re-evaluating
+        // the shingle+minhash chain, and the projection is 1:1 so the
+        // sorted order is preserved
+        val sig = Dedup.minhashSignatures(
+          docs(s, d).orderBy(col("doc_id")), "doc_id", "text", 3, 8)
         sig.select(col("doc_id") +:
           (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
-          .orderBy(col("doc_id"))
       },
       Some {
         val cols = (0 until 8).map(i => s"sig[${i + 1}] AS m$i").mkString(", ")

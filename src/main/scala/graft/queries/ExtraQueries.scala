@@ -25,11 +25,12 @@ object ExtraQueries {
     QueryDef(
       "q50_bpe_tokens",
       (s, d) =>
+        // sort-before-project (the q24 pattern)
         t(s, d, "documents")
+          .orderBy(col("doc_id"))
           .select(col("doc_id"),
             size(split(normalizeTranscript(col("text")), " ")).as("ws_tokens"),
-            regexp_count(col("text"), lit(BpePieceRegex)).as("bpe_pieces"))
-          .orderBy(col("doc_id")),
+            regexp_count(col("text"), lit(BpePieceRegex)).as("bpe_pieces")),
       Some(s"""SELECT doc_id,
               |  len(string_split(${TextQueries.normSql("text")}, ' ')) AS ws_tokens,
               |  CAST(len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9''\\s]+|\\s+')) AS INT) AS bpe_pieces
@@ -255,6 +256,10 @@ object ExtraQueries {
           .toDF("clip_id", "codec", "sr_hz", "n_in", "n_out", "rms")
           .select(col("clip_id"), col("codec"), col("sr_hz"),
             col("n_in"), col("n_out"))
+          // as in p01/p02/q58: materialize the tiny per-clip rows once
+          // so the global sort's range-partition sampling pass doesn't
+          // re-run the full decode+resample
+          .localCheckpoint(true)
           .orderBy(col("clip_id"), col("codec"), col("sr_hz"), col("n_in"))
       },
       Some(s"""WITH clips AS (${graft.synth.ClipGen.metaSql}),

@@ -103,10 +103,11 @@ object MoreQueries {
     QueryDef(
       "q43_json_extract",
       (s, d) =>
+        // sort-before-project (the q24 pattern)
         t(s, d, "events")
+          .orderBy(col("event_id"))
           .select(col("event_id"),
-            get_json_object(col("props"), "$.k").cast("int").as("k"))
-          .orderBy(col("event_id")),
+            get_json_object(col("props"), "$.k").cast("int").as("k")),
       Some("""SELECT event_id, CAST(props->>'$.k' AS INT) AS k
              |FROM events ORDER BY event_id""".stripMargin)),
 
@@ -114,11 +115,12 @@ object MoreQueries {
     QueryDef(
       "q44_to_json",
       (s, d) =>
+        // sort-before-project (the q24 pattern)
         t(s, d, "events")
+          .orderBy(col("event_id"))
           .select(col("event_id"),
             to_json(struct(col("event_id").as("id"),
-              col("event_type").as("t"))).as("js"))
-          .orderBy(col("event_id")),
+              col("event_type").as("t"))).as("js")),
       Some("""SELECT event_id,
              |  printf('{"id":%d,"t":"%s"}', event_id, event_type) AS js
              |FROM events ORDER BY event_id""".stripMargin)),

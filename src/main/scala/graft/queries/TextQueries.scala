@@ -102,7 +102,11 @@ object TextQueries {
       "q22_scalar_ids",
       (s, d) => {
         val raw = concat(lit("SRC_EV "), col("event_id"), lit("!"), col("event_type"))
+        // sort on the scan column FIRST, project the id-scalar suite
+        // AFTER (the q24 pattern): the range sampling pass re-reads only
+        // the narrow scan and the regex/sha work is evaluated once
         t(s, d, "events")
+          .orderBy(col("event_id"))
           .select(
             col("event_id"),
             sanitizeId(stripPrefix(raw, "SRC_")).as("sanitized_id"),
@@ -111,7 +115,6 @@ object TextQueries {
               sha2(col("event_id").cast("string"), 256)).as("ts_prefixed_id"),
             conditionalReference(lit("Clip"), lit("urn:graft:event"),
               col("event_id")).as("conditional_ref"))
-          .orderBy(col("event_id"))
       },
       Some("""SELECT event_id,
              |  substr(regexp_replace('EV ' || event_id || '!' || event_type, '[^A-Za-z0-9\-\.]', '-', 'g'), 1, 64) AS sanitized_id,
@@ -132,12 +135,14 @@ object TextQueries {
           .when(col("l_linenumber") % 5 === 3, lit("  7.5 "))
           .otherwise(lit("n/a"))
         val parsed = parseQuantity(qs)
+        // sort-before-project (the q24 pattern): regex parse evaluated
+        // once, after the exchange, instead of sample + sort
         t(s, d, "lineitem")
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
           .select(col("l_orderkey"), col("l_linenumber"), qs.as("raw"),
             parsed.getField("comparator").as("comparator"),
             parsed.getField("value").as("value"),
             parsed.getField("text").as("text"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
       },
       Some("""WITH src AS (
              |  SELECT l_orderkey, l_linenumber,
@@ -173,12 +178,18 @@ object TextQueries {
           .when(col("l_linenumber") % 8 === 6, qint.cast("string"))
           .otherwise(lit(""))
         val parsed = parseReferenceRange(rs)
+        // sort FIRST on the scan columns, project the parse AFTER: the
+        // range-partitioner's sampling pass then re-reads only the
+        // narrow scan (shuffle reuse), instead of evaluating the whole
+        // regex-parse chain twice (sample + sort); the exchange also
+        // carries only scan columns. A 1:1 project preserves the sorted
+        // order, so the output is row-identical.
         t(s, d, "lineitem")
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
           .select(col("l_orderkey"), col("l_linenumber"), rs.as("raw"),
             parsed.getField("low").as("low"),
             parsed.getField("high").as("high"),
             parsed.getField("text").as("text"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
       },
       Some("""WITH src AS (
              |  SELECT l_orderkey, l_linenumber,
@@ -214,11 +225,12 @@ object TextQueries {
     QueryDef(
       "q25_normalize",
       (s, d) =>
+        // sort-before-project (the q24 pattern)
         graft.synth.ClipGen.clipsMeta(s, d)
+          .orderBy(col("event_id"))
           .select(col("event_id"), col("clip_id"), col("transcript"),
             normalizeTranscript(col("transcript")).as("transcript_norm"),
-            tokenCount(normalizeTranscript(col("transcript"))).as("n_tokens"))
-          .orderBy(col("event_id")),
+            tokenCount(normalizeTranscript(col("transcript"))).as("n_tokens")),
       Some(s"""WITH clips AS (${graft.synth.ClipGen.metaSql})
               |SELECT event_id, clip_id, transcript,
               |  ${normSql("transcript")} AS transcript_norm,
@@ -231,13 +243,14 @@ object TextQueries {
       "q26_quality",
       (s, d) => {
         val q = qualityStruct(col("text"))
+        // sort-before-project (the q24 pattern)
         t(s, d, "documents")
+          .orderBy(col("doc_id"))
           .select(col("doc_id"),
             q.getField("n_tokens").as("n_tokens"),
             q.getField("mean_token_len").as("mean_token_len"),
             q.getField("stopword_ratio").as("stopword_ratio"),
             q.getField("punct_ratio").as("punct_ratio"))
-          .orderBy(col("doc_id"))
       },
       Some(s"""WITH n AS (
               |  SELECT doc_id, text, ${normSql("text")} AS norm FROM documents),
@@ -258,9 +271,10 @@ object TextQueries {
     QueryDef(
       "q27_langid",
       (s, d) =>
+        // sort-before-project (the q24 pattern)
         t(s, d, "documents")
-          .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang"))
-          .orderBy(col("doc_id")),
+          .orderBy(col("doc_id"))
+          .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang")),
       Some(s"""WITH tk AS (
               |  SELECT doc_id, lang, string_split(${normSql("text")}, ' ') AS toks FROM documents),
               |sc AS (
@@ -283,12 +297,13 @@ object TextQueries {
     QueryDef(
       "q28_fingerprint",
       (s, d) =>
+        // sort-before-project (the q24 pattern)
         t(s, d, "documents")
+          .orderBy(col("doc_id"))
           .select(col("doc_id"), normalizeTranscript(col("text")).as("__norm"))
           .select(col("doc_id"), col("__norm"), split(col("__norm"), " ").as("__toks"))
           .select(col("doc_id"),
-            fingerprintFromToks(col("__norm"), col("__toks")).as("fp"))
-          .orderBy(col("doc_id")),
+            fingerprintFromToks(col("__norm"), col("__toks")).as("fp")),
       Some(s"""WITH tk AS (
               |  SELECT doc_id, ${normSql("text")} AS norm,
               |    string_split(${normSql("text")}, ' ') AS toks FROM documents)

@@ -14,6 +14,12 @@ object TestSpark {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536") // ANN top-k: hash-partial path, same as the entry mains
+      // same streaming-checkpoint IO configuration as GraftSession, so
+      // the kill/restart (D7) suites exercise the manager the engine
+      // actually runs with
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
