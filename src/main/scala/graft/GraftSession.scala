@@ -36,5 +36,12 @@ object GraftSession {
       .config("spark.sql.streaming.checkpointFileManagerClass",
         sys.env.getOrElse("SPARK_GRAFT_CKPT_MANAGER",
           "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager"))
+      // local `file:` scheme without the Shell-fork chmod fallback and
+      // without `.crc` shadow files (see NioLocalFileSystem scaladoc);
+      // HDFS/object-store deployments override or simply never touch
+      // `file:` paths
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS",
+          "graft.hadoop.NioLocalFileSystem"))
       .config("spark.ui.enabled", "false")
 }

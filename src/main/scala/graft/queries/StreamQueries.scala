@@ -1049,12 +1049,14 @@ object StreamQueries {
           StreamRunner.parquetStream(s, dir, eventsSchema,
             maxFilesPerTrigger = Some(1)))
         val sink = new ExactlyOnceSink(outDir, Seq("event_id"))
-        val q = clips.writeStream
-          .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", s"$outDir/_checkpoint")
-          .start()
-        q.awaitTermination()
+        StreamRunner.withSizedStatePartitions(s) {
+          val q = clips.writeStream
+            .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", s"$outDir/_checkpoint")
+            .start()
+          q.awaitTermination()
+        }
         require(sink.committedBatchIds.size == 3,
           s"s17 expects 3 committed micro-batches, got ${sink.committedBatchIds}")
         val lin = sink.lineage
@@ -1102,12 +1104,14 @@ object StreamQueries {
         val fanIn = clips.unionByName(updates)
         val sink = new ExactlyOnceSink(outDir,
           Seq("clip_id", "event_time", "kind", "payload"))
-        val q = fanIn.writeStream
-          .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", s"$outDir/_checkpoint")
-          .start()
-        q.awaitTermination()
+        StreamRunner.withSizedStatePartitions(s) {
+          val q = fanIn.writeStream
+            .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", s"$outDir/_checkpoint")
+            .start()
+          q.awaitTermination()
+        }
         require(sink.committedBatchIds.size == 3,
           s"s20 expects 3 committed fan-in micro-batches, got ${sink.committedBatchIds}")
         require(sink.lineage.forall(b => b.partitionRows.sum == b.rows),
@@ -1144,12 +1148,14 @@ object StreamQueries {
           StreamRunner.parquetStream(s, dir, eventsSchema,
             maxFilesPerTrigger = Some(1)))
         val sink = new graft.sink.UpsertSink(outDir, Seq("clip_id"), "event_id")
-        val q = clips.writeStream
-          .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", s"$outDir/_checkpoint")
-          .start()
-        q.awaitTermination()
+        StreamRunner.withSizedStatePartitions(s) {
+          val q = clips.writeStream
+            .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", s"$outDir/_checkpoint")
+            .start()
+          q.awaitTermination()
+        }
         val commitCount = {
           val stream = java.nio.file.Files.list(
             java.nio.file.Paths.get(outDir, "_commits"))
@@ -1178,12 +1184,14 @@ object StreamQueries {
         val clips = metaProjection(
           StreamRunner.parquetStream(s, s"$d/events.parquet", eventsSchema))
         val sink = new ExactlyOnceSink(outDir, Seq("event_id"))
-        val q = clips.writeStream
-          .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", s"$outDir/_checkpoint")
-          .start()
-        q.awaitTermination()
+        StreamRunner.withSizedStatePartitions(s) {
+          val q = clips.writeStream
+            .foreachBatch((df: DataFrame, id: Long) => sink.write(df, id))
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", s"$outDir/_checkpoint")
+            .start()
+          q.awaitTermination()
+        }
         sink.readCommitted(s)
           .select(col("clip_id"), col("event_id"), col("codec"),
             col("dur_ms"), col("event_time"))

@@ -16,6 +16,77 @@ object StreamRunner {
 
   private val counter = new AtomicInteger(0)
 
+  // ---------------------------------------------------------------------
+  // Scale-adaptive state partitioning (optimization guide §2.2/§2.5):
+  // a streaming stateful operator's partition count is FROZEN at the
+  // first checkpoint, so AQE's coalescing never applies — the only
+  // correct sizing is to derive it from the input volume up front.
+  // Each state partition costs a provider instance (and on RocksDB a
+  // native store) plus per-batch delta/commit files; a constant tuned
+  // for the worker-thread count (32) makes every micro-batch pay 32×
+  // those fixed costs even when a batch carries a few MB. The sizing
+  // below targets `spark.sql.adaptive.advisoryPartitionSizeInBytes`
+  // (default 64 MB) of SOURCE bytes per state partition (×4 expansion
+  // for parquet→row decompression), clamped to [2, defaultParallelism]
+  // locally; a cluster deployment overrides the result with
+  // SPARK_GRAFT_STREAM_PARTITIONS (absolute) exactly like the other
+  // env-parameterised scale knobs. Results are partitioning-independent
+  // (hash-partitioned keyed state; every query's oracle sorts), so this
+  // only moves fixed cost, never semantics.
+
+  /** Bytes of pending stream sources registered since the last query
+    * start ([[parquetStream]] accumulates; [[withSizedStatePartitions]]
+    * consumes). Queries are constructed and started sequentially in
+    * Verify/Bench, so a plain atomic is enough.
+    */
+  private val pendingSourceBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def dirBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    try {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val stream = java.nio.file.Files.list(p)
+        try stream.iterator.asScala
+          .filter(f => java.nio.file.Files.isRegularFile(f))
+          .map(java.nio.file.Files.size).sum
+        finally stream.close()
+      } else if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.size(p)
+      else 0L
+    } catch { case _: java.io.IOException => 0L }
+  }
+
+  /** Shuffle-partition count for the streaming query whose sources
+    * total `bytes` (see the sizing note above).
+    */
+  private[graft] def sizedStatePartitions(spark: SparkSession, bytes: Long): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse {
+      val advisory = spark.conf
+        .getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(64L * 1024 * 1024)
+      val target = math.ceil(bytes * 4.0 / math.max(1L, advisory)).toLong
+      val hi = spark.sparkContext.defaultParallelism.toLong
+      math.max(2L, math.min(hi, target)).toInt
+    }
+
+  /** Run `f` (which must construct AND fully execute a streaming
+    * query) with `spark.sql.shuffle.partitions` sized from the stream
+    * sources registered via [[parquetStream]] since the previous query,
+    * restoring the session's configured value afterwards so batch
+    * queries keep their own sizing.
+    */
+  def withSizedStatePartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val bytes = pendingSourceBytes.getAndSet(0L)
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, sizedStatePartitions(spark, bytes).toString)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Parquet file stream over a driver-generated table. The file
     * source is the sandbox stand-in for the reference's Kafka source
     * (S1/S2; no Kafka connector jar ships here) — rate limiting via
@@ -25,7 +96,10 @@ object StreamRunner {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val r = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(streamableDir(path))
+    val dir = streamableDir(path)
+    // feed the scale-adaptive state-partition sizing (see above)
+    pendingSourceBytes.addAndGet(dirBytes(dir))
+    r.parquet(dir)
   }
 
   /** `path|size|mtime` fingerprint of a parquet file or directory —
@@ -196,13 +270,16 @@ object StreamRunner {
   def runToMemoryCounted(stream: DataFrame, mode: String): (DataFrame, Int) = {
     val spark = stream.sparkSession
     val name = s"graft_mem_${counter.incrementAndGet()}"
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = withSizedStatePartitions(spark) {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
     val inputBatches = q.recentProgress.count(_.numInputRows > 0)
     (spark.table(name), inputBatches)
   }
