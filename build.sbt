@@ -23,7 +23,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ sys.env.get("SPARK_GC_OPTS").toSeq ++ Seq(
+// Scratch (streaming checkpoints, staged stream sources, sink work
+// dirs, shuffle/block spill via spark.local.dir) on the fastest local
+// storage available: tmpfs when the host has one, else the system
+// default. Parameterised — SPARK_GRAFT_TMPDIR pins it (e.g. to a
+// dedicated NVMe scratch volume on a production host).
+val graftTmpDir: Option[String] =
+  sys.env.get("SPARK_GRAFT_TMPDIR").orElse {
+    val shm = file("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = shm / "graft-tmp"
+      IO.createDirectory(d)
+      Some(d.getAbsolutePath)
+    } else None
+  }
+javaOptions ++= jdk17AddOpens ++ sys.env.get("SPARK_GC_OPTS").toSeq ++
+  graftTmpDir.map(d => s"-Djava.io.tmpdir=$d").toSeq ++ Seq(
   // the bench mains emit their JSON contract line via f-interpolators;
   // a comma-decimal locale would produce invalid JSON
   "-Duser.language=en", "-Duser.country=US",

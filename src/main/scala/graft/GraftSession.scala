@@ -43,5 +43,10 @@ object GraftSession {
       .config("spark.hadoop.fs.file.impl",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS",
           "graft.hadoop.NioLocalFileSystem"))
+      // shuffle/block scratch follows java.io.tmpdir (build.sbt points
+      // both at tmpfs when available; SPARK_GRAFT_TMPDIR overrides) —
+      // Spark's own default is the literal "/tmp", which ignores the
+      // JVM's tmpdir setting
+      .config("spark.local.dir", sys.props("java.io.tmpdir"))
       .config("spark.ui.enabled", "false")
 }

@@ -19,6 +19,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     functions.SimHash32.register(spark)
     functions.MinHash32.register(spark)
+    functions.VecMath.register(spark)
     Registry.all.find(_.name == "p01_decode_full").get
       .fn(spark, "/root/testdata/sf0.001")
   }
@@ -29,6 +30,7 @@ object SparkEntry {
       q.name -> { (s: SparkSession, d: String) =>
         functions.SimHash32.register(s)
         functions.MinHash32.register(s)
+        functions.VecMath.register(s)
         // see BENCH.md §3: InferFiltersFromGenerate re-evaluates
         // expensive generator inputs in an interpreted filter (13x on
         // the shingle join) — excluded for every engine query

@@ -19,13 +19,28 @@ object Ann {
 
   /** Dot product of two float-array columns, computed in double with a
     * deterministic left-to-right sum (bit-reproducible across engines).
+    * The native [[graft.functions.VecMath]] expression — the HOF
+    * formula below ([[dotHofD]]) is its spec twin (fuzz-asserted
+    * bit-equal in PropertySpec) but runs interpreted, which made the
+    * plane projections and pair cosines the hot frames of the
+    * embedding family's bench.
     */
   private def dotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.VecMath.dotD(a, b)
+
+  private def normD(a: org.apache.spark.sql.Column) =
+    graft.functions.VecMath.normD(a)
+
+  /** Interpreted HOF twins of [[dotD]]/[[normD]] — kept as the
+    * readable specification the native expression is tested against.
+    */
+  private[graft] def dotHofD(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  private def normD(a: org.apache.spark.sql.Column) =
+  private[graft] def normHofD(a: org.apache.spark.sql.Column) =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
   /** L2 norm + normalization check per vector. */

@@ -66,7 +66,13 @@ object StreamRunner {
         .getOrElse(64L * 1024 * 1024)
       val target = math.ceil(bytes * 4.0 / math.max(1L, advisory)).toLong
       val hi = spark.sparkContext.defaultParallelism.toLong
-      math.max(2L, math.min(hi, target)).toInt
+      // floor of 8 (not the cluster-width hi): byte sizing cannot see
+      // CPU intensity, and a stateful stage with real per-key compute
+      // (the TWS session fold measured 4.0 s at 2 partitions, 2.5 s at
+      // 8, 2.2 s at 32 on 100k rows) needs parallelism even when its
+      // state is tiny; 8 keeps ~90% of that while still cutting the
+      // 32-partition fixed costs 4× on the commit-bound queries
+      math.max(math.min(8L, hi), math.min(hi, target)).toInt
     }
 
   /** Run `f` (which must construct AND fully execute a streaming

@@ -99,4 +99,41 @@ class PropertySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ClipPipeline.parseDurationUs("10 fortnights"))
     intercept[IllegalArgumentException](ClipPipeline.parseDurationUs("soon"))
   }
+
+  // covers magnitudes across the float range, exact powers of two,
+  // subnormal-adjacent values, zeros and sign flips — any ordering or
+  // widening difference between the native fold and the HOF fold
+  // would surface as a bit-level mismatch here
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.choose(0, 64).flatMap(n => Gen.listOfN(n, Gen.oneOf(
+      Gen.choose(-1.0f, 1.0f),
+      Gen.choose(-1e6f, 1e6f),
+      Gen.oneOf(0.0f, -0.0f, 1.5e-7f, -3.25f, 1024.0f))))
+
+  test("native dot_d / norm_d are bit-identical to the interpreted HOF folds") {
+    val pairs = sample(vecGen.flatMap(a => vecGen.map(b => (a, a.take(b.size).toSeq))), 200)
+      .map { case (a, b) => (a, if (b.size == a.size) b else a) } // equal lengths
+    assert(pairs.size >= 150)
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      graft.functions.VecMath.dotD(col("a"), col("b")).as("dn"),
+      graft.operators.Ann.dotHofD(col("a"), col("b")).as("dh"),
+      graft.functions.VecMath.normD(col("a")).as("nn"),
+      graft.operators.Ann.normHofD(col("a")).as("nh")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"dot mismatch: $r")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)), s"norm mismatch: $r")
+    }
+    // null / length-mismatch semantics follow zip_with padding
+    val edge = Seq((Seq(1.0f, 2.0f), Seq(1.0f)), (Seq.empty[Float], Seq.empty[Float]))
+      .toDF("a", "b")
+      .select(graft.functions.VecMath.dotD(col("a"), col("b")).as("dn"),
+        graft.operators.Ann.dotHofD(col("a"), col("b")).as("dh"))
+      .collect()
+    edge.foreach(r => assert(r.isNullAt(0) == r.isNullAt(1),
+      s"null semantics diverge: $r"))
+    assert(edge(0).isNullAt(0) && edge(1).getDouble(0) == 0.0)
+  }
 }

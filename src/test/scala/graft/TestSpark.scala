@@ -27,6 +27,7 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     functions.SimHash32.register(s)
     functions.MinHash32.register(s)
+    functions.VecMath.register(s)
     s
   }
 }
