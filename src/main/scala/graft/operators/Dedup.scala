@@ -233,7 +233,9 @@ object Dedup {
 
     var sig = signature(edges)
     var it = 0
-    var converged = edges.isEmpty
+    // the signature count doubles as the emptiness probe — a separate
+    // edges.isEmpty would run one more job per CC invocation
+    var converged = sig._1 == 0L
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nsig = signature(next)

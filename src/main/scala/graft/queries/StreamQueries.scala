@@ -986,8 +986,12 @@ object StreamQueries {
         val unmatchedUpd = ClipPipeline
           .transcriptUpdateUnmatchedUpdates(clips(), updates(), "30 minutes", "10 MINUTES")
           .select(outCols: _*)
-        StreamRunner.runToMemory(left, "append")
-          .unionByName(StreamRunner.runToMemory(unmatchedUpd, "append"))
+        // the two halves are independent stateful queries (separate
+        // sources, state, sinks) — start both, await both (guide §2.6)
+        val halves = StreamRunner.runAllToMemory(
+          Seq(left -> "append", unmatchedUpd -> "append"))
+        halves(0)
+          .unionByName(halves(1))
           .withColumn("event_time", col("event_time").cast("timestamp_ntz"))
           .withColumn("u_event_time", col("u_event_time").cast("timestamp_ntz"))
           .filter(

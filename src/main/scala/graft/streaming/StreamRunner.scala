@@ -268,6 +268,46 @@ object StreamRunner {
   def runToMemory(stream: DataFrame, mode: String): DataFrame =
     runToMemoryCounted(stream, mode)._1
 
+  /** Run several INDEPENDENT streaming DataFrames to completion
+    * concurrently (each Trigger.AvailableNow into its own memory sink)
+    * and return their batch results in order. Optimization guide §2.6
+    * (overlap independent jobs): the composed queries here (s27's two
+    * bucketed LEFT OUTER halves) are latency-bound — a handful of
+    * threads busy between tiny micro-batch tasks — so running them in
+    * sequence pays the fixed per-query costs (source listing, planning,
+    * state-store commits, log writes) twice end-to-end; `start()` is
+    * non-blocking, so starting both and awaiting both overlaps those
+    * costs while the per-query results (independent sources, sinks,
+    * checkpoints, state) are byte-identical to the sequential run.
+    * All queries share one sized-partition scope (sized from every
+    * pending registered source).
+    */
+  def runAllToMemory(streams: Seq[(DataFrame, String)]): Seq[DataFrame] = {
+    require(streams.nonEmpty, "runAllToMemory needs at least one query")
+    val spark = streams.head._1.sparkSession
+    withSizedStatePartitions(spark) {
+      val started = streams.map { case (df, mode) =>
+        val name = s"graft_mem_${counter.incrementAndGet()}"
+        val q = df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        (name, q)
+      }
+      try started.foreach(_._2.awaitTermination())
+      catch {
+        case e: Throwable =>
+          // don't leave the sibling query running against a half-torn
+          // session if one half fails
+          started.foreach(s => try s._2.stop() catch { case _: Throwable => () })
+          throw e
+      }
+      started.map { case (name, _) => spark.table(name) }
+    }
+  }
+
   /** [[runToMemory]] + the number of micro-batches that actually
     * consumed input rows — callers whose oracle encodes a specific
     * batch schedule (s11's 2-batch arrival) assert on it instead of
