@@ -457,6 +457,19 @@ object ScalingBench {
     */
   private[graft] val MaxCrossPassSpread = 1.25
 
+  /** Index of the ratio FARTHEST from the median in LOG space — the
+    * within-pass dispersion outlier. Log distance makes the rejection
+    * symmetric: a lo-leg-starved pair that INFLATES the ratio k× is
+    * exactly as far from the median as a hi-leg-starved pair that
+    * deflates it k×, so contention cannot be selectively pruned in the
+    * flattering direction.
+    */
+  private[graft] def dispersionOutlierIndex(ratios: Seq[Double]): Int = {
+    val rs = ratios.map(r => math.max(1e-9, r))
+    val med = rs.sorted.apply((rs.size - 1) / 2)
+    rs.indices.maxBy(i => math.abs(math.log(rs(i)) - math.log(med)))
+  }
+
   /** Largest subset of `vs` whose raw values lie within a
     * [[MaxCrossPassSpread]] band (contiguous after sorting by raw —
     * any within-band subset is a sorted window). Ties prefer the
@@ -513,14 +526,56 @@ object ScalingBench {
     // underfunded final pass would burn a ceiling probe + partial
     // pairs on a pass that is mathematically guaranteed invalid — and
     // a pass is only STARTED while at least `reps` pairs remain.
+    // The +maxPassRuns term funds roughly one within-pass dispersion-
+    // outlier re-measure per pass (see runPass) on top of the
+    // plausibility-retry allowance.
     val maxPassRuns = passes + 2
     val pairBudget = new java.util.concurrent.atomic.AtomicInteger(
-      maxPassRuns * reps + 2)
+      maxPassRuns * reps + 2 + maxPassRuns)
     def runPass(): Pass = {
       val (c, tries, ok) = measureCeiling(lo, hi)
-      val measured = (1 to reps).map(_ =>
-        measurePairRetry(lo, hi, sfDir, workScale, pairBudget))
-      Pass(c, tries, ok, measured.map(_._1), measured.flatMap(_._2))
+      val measured = scala.collection.mutable.ArrayBuffer.empty[PairMeas]
+      val rejected = scala.collection.mutable.ArrayBuffer.empty[PairMeas]
+      (1 to reps).foreach { _ =>
+        val (p, rej) = measurePairRetry(lo, hi, sfDir, workScale, pairBudget)
+        measured += p
+        rejected ++= rej
+      }
+      // Within-pass outlier re-measure (bounded, symmetric, disclosed):
+      // the per-pair plausibility band rejects gross corruption
+      // (ratio < 0.25), but a MILDLY contended rep (e.g. 0.33 next to
+      // 0.68/0.69 siblings) slips inside the band and then fails the
+      // whole pass on dispersion — the round-5 rule ("a degraded
+      // measurement is rejected and re-run, never averaged in") applied
+      // within the pass. The outlier is the pair FARTHEST from the pass
+      // median in LOG space, so a lo-leg-starved pair that INFLATES the
+      // ratio is rejected exactly as readily as a hi-leg-starved one
+      // that deflates it (no upward bias); it lands in rejected_pairs
+      // with its reason, the replacement is a fresh measurement under
+      // the same shared budget, and the pass must still clear the
+      // UNCHANGED dispersion/ceiling/ext-CPU/cross-pass guards.
+      def dispersionOf(ps: Seq[PairMeas]): Double = {
+        val rs = statPairs(ps).map(_.ratio).filter(_ > 0)
+        if (rs.isEmpty) Double.PositiveInfinity else rs.max / rs.min
+      }
+      var outlierRetries = 0
+      while (dispersionOf(measured.toSeq) > MaxPassDispersion &&
+          outlierRetries < reps && pairBudget.get() > 0) {
+        val med = statPairs(measured.toSeq).map(_.ratio).sorted
+          .apply((statPairs(measured.toSeq).size - 1) / 2)
+        val idx = dispersionOutlierIndex(measured.toSeq.map(_.ratio))
+        val out = measured(idx)
+        System.err.println(
+          f"[scaling] pass pair ratio ${out.ratio}%.3f is a dispersion outlier vs pass median $med%.3f — re-measuring")
+        rejected += out.copy(valid = false, reason =
+          f"pass-dispersion outlier (ratio ${out.ratio}%.3f vs pass median $med%.3f)")
+        val (p, rej) = measurePairRetry(lo, hi, sfDir, workScale, pairBudget)
+        measured.remove(idx)
+        measured += p
+        rejected ++= rej
+        outlierRetries += 1
+      }
+      Pass(c, tries, ok, measured.toSeq, rejected.toSeq)
     }
     val ps = scala.collection.mutable.ArrayBuffer.empty[Pass]
     // the loop chases `passes` valid passes that are also mutually

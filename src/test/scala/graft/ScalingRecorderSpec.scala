@@ -41,4 +41,21 @@ class ScalingRecorderSpec extends AnyFunSuite {
     assert(ScalingBench.MaxExternalCpu == 0.15)
     assert(ScalingBench.MaxPassDispersion == 1.5)
   }
+
+  test("within-pass dispersion outlier pick is symmetric in log space") {
+    // the observed contended-window shape: one mildly starved hi leg
+    // (ratio 0.33) next to clean siblings — the deflated pair is picked
+    assert(ScalingBench.dispersionOutlierIndex(Seq(0.68, 0.33, 0.69)) == 1)
+    // a lo-leg-starved pair that INFLATES the ratio the same log
+    // distance from the median must be picked just as readily — the
+    // pruning cannot bias toward the flattering direction
+    assert(ScalingBench.dispersionOutlierIndex(Seq(0.68, 1.09, 0.69)) == 1)
+    // equidistant in linear space but NOT in log space: 0.34 (2× below
+    // median 0.68) is farther than 1.02 (1.5× above), so log distance
+    // picks the deflated one; linear distance would tie them
+    assert(ScalingBench.dispersionOutlierIndex(Seq(0.34, 0.68, 1.02)) == 0)
+    // a budget sentinel (ratio 0) is always the farthest thing from any
+    // median and is re-measured first
+    assert(ScalingBench.dispersionOutlierIndex(Seq(0.68, 0.0, 0.69)) == 1)
+  }
 }
