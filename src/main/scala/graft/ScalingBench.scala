@@ -413,12 +413,16 @@ object ScalingBench {
     *  - lo=6 / hi=24 (not 7/28): the 32-core VM needs headroom for GC
     *    and Spark daemon threads; at hi=28 the high-parallelism run is
     *    partially self-contended and under-reports the engine.
-    *  - a ceiling probe outside [0.5, 1.25] is REJECTED and re-run (up
-    *    to 3 probes per pass); a pass whose every probe is implausible
-    *    is recorded but marked `"valid":false`, its normalized value
-    *    computed against a NEUTRAL ceiling of 1.0 (a corrupted probe
-    *    must not become the denominator), and it is never reported as
-    *    the headline while a valid pass exists.
+    *  - the machine ceiling is probed PER PAIR, immediately after the
+    *    pair, in the same host window (see [[PairUnit]] — a pass-level
+    *    probe minutes away decouples from its pairs under bursty
+    *    neighbor load and mis-normalizes in either direction); a probe
+    *    outside [0.5, 1.25] is REJECTED and re-run (up to 3 per pair),
+    *    a pair whose every probe is implausible invalidates the pass,
+    *    its normalized value computed against a NEUTRAL ceiling of 1.0
+    *    (a corrupted probe must not become the denominator), and it is
+    *    never reported as the headline while a valid pass exists. The
+    *    reported pass ceiling is the median pair's own-window probe.
     *  - the ceiling is clamped at ≤1.0 AND `normalized_efficiency` is
     *    clamped at ≤1.0 — no value in the block can exceed 1.0 (an
     *    engine cannot scale better than perfectly; anything above is
@@ -485,38 +489,64 @@ object ScalingBench {
     }
   }
 
+  /** One pair plus the machine-ceiling probe measured IMMEDIATELY
+    * after it — the same host window. A pass-level ceiling probed
+    * minutes before its pairs decouples from them under bursty
+    * neighbor load (observed live: ceiling 0.769 probed in a quiet
+    * gap, pairs 0.30–0.52 in the burst → a "valid" 0.607 normalized
+    * that measures the neighbors, not the engine); pairing each ratio
+    * with its own window's ceiling keeps the normalization honest in
+    * BOTH directions — a quiet-gap ceiling can no longer deflate a
+    * contended pair's normalized value, and a burst-window ceiling
+    * can no longer inflate a clean one's.
+    */
+  private final case class PairUnit(pair: PairMeas, ceilRaw: Double,
+      ceilTries: Int, ceilValid: Boolean)
+
   def scalingEvidence(sfDir: String, lo: Int = 6, hi: Int = 24,
       reps: Int = 3, workScale: Int = 6, passes: Int = 2): String = {
-    final case class Pass(ceilRaw: Double, ceilTries: Int, ceilValid: Boolean,
-        pairs: Seq[PairMeas], rejectedPairs: Seq[PairMeas]) {
-      val ceil: Double = math.min(ceilRaw, 1.0)
+    final case class Pass(units: Seq[PairUnit], rejectedPairs: Seq[PairMeas]) {
+      val pairs: Seq[PairMeas] = units.map(_.pair)
       val ratios: Seq[Double] = pairs.map(_.ratio)
       val pairsValid: Boolean = pairs.forall(_.valid)
       // statistics over real (non-sentinel) pairs only — a ratio-0
       // budget sentinel must not become the median or the mid pair
-      private val stats = statPairs(pairs)
-      private val statRatios = stats.map(_.ratio)
+      private val statUnits = {
+        val real = units.filterNot(_.pair.sentinel)
+        if (real.nonEmpty) real else units
+      }
+      private val statRatios = statUnits.map(_.pair.ratio)
       val dispersion: Double =
         if (statRatios.isEmpty) Double.PositiveInfinity
         else statRatios.max / statRatios.min
       val dispersionValid: Boolean = dispersion <= MaxPassDispersion
-      // a pass is valid only when its ceiling probe, EVERY surviving
-      // pair (plausible ratio + low external CPU), and the cross-pair
-      // dispersion all check out — three independent contention signals
-      val valid: Boolean = ceilValid && pairsValid && dispersionValid
       // MEDIAN of the paired ratios (lower-middle for even counts:
       // never the favorable rounding) — each ratio comes from a lo/hi
       // pair measured back-to-back, so common-mode host drift cancels
       // within a pair and the median discards a single corrupted one
       private val mid = statRatios.sorted.apply((statRatios.size - 1) / 2)
       val raw: Double = mid
-      // the reported (sec_lo, sec_hi) are the median pair's own
-      // components, so sec_lo/sec_hi/raw are mutually consistent
-      private val midPair = stats.minBy(p => math.abs(p.ratio - mid))
-      val (tLo, tHi): (Double, Double) = (midPair.tLo, midPair.tHi)
+      // the reported (sec_lo, sec_hi, ceiling) are the median pair's
+      // OWN components — one physical measurement window, so
+      // sec_lo/sec_hi/raw/ceiling/normalized are mutually consistent
+      private val midUnit = statUnits.minBy(u => math.abs(u.pair.ratio - mid))
+      val (tLo, tHi): (Double, Double) = (midUnit.pair.tLo, midUnit.pair.tHi)
+      val ceilRaw: Double = midUnit.ceilRaw
+      val ceil: Double = math.min(ceilRaw, 1.0)
+      val ceilTries: Int = units.map(_.ceilTries).sum
+      // STRICT: every surviving pair's window must have produced a
+      // plausible ceiling — mirrors pairsValid quantifying over every
+      // pair, and is stricter than the former single pass-level probe
+      val ceilValid: Boolean = statUnits.forall(_.ceilValid)
+      // a pass is valid only when every per-pair ceiling probe, EVERY
+      // surviving pair (plausible ratio + low external CPU), and the
+      // cross-pair dispersion all check out — three independent
+      // contention signals
+      val valid: Boolean = ceilValid && pairsValid && dispersionValid
       // an INVALID ceiling never becomes the denominator — normalize
       // against neutral 1.0 instead (can only understate, not flatter)
-      val norm: Double = math.min(raw / (if (ceilValid) ceil else 1.0), 1.0)
+      val norm: Double =
+        math.min(raw / (if (midUnit.ceilValid) ceil else 1.0), 1.0)
     }
     // bounded budgets: at most `passes`+2 pass runs chasing `passes`
     // valid ones, and a global cap on pair executions (retries
@@ -533,14 +563,20 @@ object ScalingBench {
     val pairBudget = new java.util.concurrent.atomic.AtomicInteger(
       maxPassRuns * reps + 2 + maxPassRuns)
     def runPass(): Pass = {
-      val (c, tries, ok) = measureCeiling(lo, hi)
-      val measured = scala.collection.mutable.ArrayBuffer.empty[PairMeas]
+      val measured = scala.collection.mutable.ArrayBuffer.empty[PairUnit]
       val rejected = scala.collection.mutable.ArrayBuffer.empty[PairMeas]
-      (1 to reps).foreach { _ =>
+      // one measurement UNIT = a pair plus the ceiling probed in the
+      // same host window, back-to-back (see PairUnit). A budget
+      // sentinel gets no probe — there is nothing to normalize, and
+      // the pass is already invalid through pairsValid.
+      def measureUnit(): PairUnit = {
         val (p, rej) = measurePairRetry(lo, hi, sfDir, workScale, pairBudget)
-        measured += p
         rejected ++= rej
+        val (c, tries, ok) =
+          if (p.sentinel) (1.0, 0, false) else measureCeiling(lo, hi)
+        PairUnit(p, c, tries, ok)
       }
+      (1 to reps).foreach(_ => measured += measureUnit())
       // Within-pass outlier re-measure (bounded, symmetric, disclosed):
       // the per-pair plausibility band rejects gross corruption
       // (ratio < 0.25), but a MILDLY contended rep (e.g. 0.33 next to
@@ -554,28 +590,26 @@ object ScalingBench {
       // with its reason, the replacement is a fresh measurement under
       // the same shared budget, and the pass must still clear the
       // UNCHANGED dispersion/ceiling/ext-CPU/cross-pass guards.
-      def dispersionOf(ps: Seq[PairMeas]): Double = {
-        val rs = statPairs(ps).map(_.ratio).filter(_ > 0)
+      def dispersionOf(us: Seq[PairUnit]): Double = {
+        val rs = statPairs(us.map(_.pair)).map(_.ratio).filter(_ > 0)
         if (rs.isEmpty) Double.PositiveInfinity else rs.max / rs.min
       }
       var outlierRetries = 0
       while (dispersionOf(measured.toSeq) > MaxPassDispersion &&
           outlierRetries < reps && pairBudget.get() > 0) {
-        val med = statPairs(measured.toSeq).map(_.ratio).sorted
-          .apply((statPairs(measured.toSeq).size - 1) / 2)
-        val idx = dispersionOutlierIndex(measured.toSeq.map(_.ratio))
-        val out = measured(idx)
+        val sp = statPairs(measured.toSeq.map(_.pair))
+        val med = sp.map(_.ratio).sorted.apply((sp.size - 1) / 2)
+        val idx = dispersionOutlierIndex(measured.toSeq.map(_.pair.ratio))
+        val out = measured(idx).pair
         System.err.println(
           f"[scaling] pass pair ratio ${out.ratio}%.3f is a dispersion outlier vs pass median $med%.3f — re-measuring")
         rejected += out.copy(valid = false, reason =
           f"pass-dispersion outlier (ratio ${out.ratio}%.3f vs pass median $med%.3f)")
-        val (p, rej) = measurePairRetry(lo, hi, sfDir, workScale, pairBudget)
         measured.remove(idx)
-        measured += p
-        rejected ++= rej
+        measured += measureUnit()
         outlierRetries += 1
       }
-      Pass(c, tries, ok, measured.toSeq, rejected.toSeq)
+      Pass(measured.toSeq, rejected.toSeq)
     }
     val ps = scala.collection.mutable.ArrayBuffer.empty[Pass]
     // the loop chases `passes` valid passes that are also mutually
@@ -614,6 +648,7 @@ object ScalingBench {
     val attempts = ps.map { p =>
       val prs = p.ratios.map(r => f"$r%.3f").mkString("[", ",", "]")
       val ext = p.pairs.map(m => f"${m.extCpu}%.3f").mkString("[", ",", "]")
+      val pcs = p.units.map(u => f"${u.ceilRaw}%.3f").mkString("[", ",", "]")
       val rej = p.rejectedPairs.map(m =>
         f"""{"ratio":${m.ratio}%.3f,"ext_cpu":${m.extCpu}%.3f,"reason":"${m.reason}"}""")
         .mkString("[", ",", "]")
@@ -621,7 +656,7 @@ object ScalingBench {
       // non-finite — Infinity is not valid JSON and would break the
       // driver's artifact parse; clamp to a visibly-absurd finite value
       val disp = if (java.lang.Double.isFinite(p.dispersion)) p.dispersion else 999.999
-      f"""{"raw":${p.raw}%.3f,"ceiling":${p.ceil}%.3f,"ceiling_raw":${p.ceilRaw}%.3f,"ceiling_probe_tries":${p.ceilTries},"ceiling_valid":${p.ceilValid},"pairs_valid":${p.pairsValid},"dispersion":$disp%.3f,"dispersion_valid":${p.dispersionValid},"valid":${p.valid},"normalized":${p.norm}%.3f,"sec_lo":${p.tLo}%.2f,"sec_hi":${p.tHi}%.2f,"pair_ratios":$prs,"pair_ext_cpu":$ext,"rejected_pairs":$rej}"""
+      f"""{"raw":${p.raw}%.3f,"ceiling":${p.ceil}%.3f,"ceiling_raw":${p.ceilRaw}%.3f,"ceiling_probe_tries":${p.ceilTries},"ceiling_valid":${p.ceilValid},"pairs_valid":${p.pairsValid},"dispersion":$disp%.3f,"dispersion_valid":${p.dispersionValid},"valid":${p.valid},"normalized":${p.norm}%.3f,"sec_lo":${p.tLo}%.2f,"sec_hi":${p.tHi}%.2f,"pair_ratios":$prs,"pair_ceilings":$pcs,"pair_ext_cpu":$ext,"rejected_pairs":$rej}"""
     }.mkString("[", ",", "]")
     val isolation = if (forkUnavailable) "in-process" else "fork"
     f"""{"cpus_lo":$lo,"cpus_hi":$hi,"work_scale":$workScale,"reps":$reps,"headline_rule":"median_consistent_valid_pass","isolation":"$isolation","sec_lo":${best.tLo}%.2f,"sec_hi":${best.tHi}%.2f,"raw_efficiency":${best.raw}%.3f,"machine_cpu_ceiling":${best.ceil}%.3f,"machine_cpu_ceiling_raw":${best.ceilRaw}%.3f,"normalized_efficiency":${best.norm}%.3f,"cross_pass_spread":$crossSpread%.3f,"cross_pass_consistent":$crossOk,"headline_valid":${best.valid && crossOk},"attempts":$attempts}"""
